@@ -1,0 +1,343 @@
+"""TPU-native CLIP: one PEFT-agnostic implementation.
+
+The reference vendors four full copies of OpenAI CLIP (model.py,
+adapter_model.py, lora_model.py, compacter_model.py — ~3.7K LoC of clones)
+and mutates each copy surgically.  Here there is exactly ONE model; PEFT
+methods inject parameters and forward hooks (see pevit_tpu/peft/) without
+touching this file.
+
+Design notes (TPU-first, not a translation):
+* Activations are (B, N, C) batch-first; transformer blocks are parameter-
+  stacked (leading layer axis L) and executed with ``lax.scan`` for compact
+  HLO and fast compiles, with optional ``jax.checkpoint`` rematerialisation.
+* Patchify is expressed as a single reshape+matmul (stride==kernel conv has
+  no overlap), which lowers to one large MXU GEMM instead of a convolution.
+* Everything is shape-static; per-dataset class counts live in the head, not
+  here.
+
+Reference architecture being matched: evaluation/model.py:947-1183
+(ResidualAttentionBlock / Transformer / VisionTransformer / CLIP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .layers import causal_mask, layer_norm, residual_attention_block
+
+
+# ---------------------------------------------------------------------------
+# Specs
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class VisionSpec:
+    input_resolution: int = 224
+    patch_size: int = 32
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    output_dim: int = 512
+
+    @property
+    def grid(self) -> int:
+        return self.input_resolution // self.patch_size
+
+    @property
+    def seq_len(self) -> int:
+        return self.grid * self.grid + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class TextSpec:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    output_dim: int = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPSpec:
+    embed_dim: int = 512
+    vision: VisionSpec = dataclasses.field(default_factory=VisionSpec)
+    text: TextSpec = dataclasses.field(default_factory=TextSpec)
+
+    @staticmethod
+    def vit_b32() -> "CLIPSpec":
+        return CLIPSpec()
+
+    @staticmethod
+    def vit_b16() -> "CLIPSpec":
+        return CLIPSpec(vision=VisionSpec(patch_size=16))
+
+    @staticmethod
+    def from_config(config) -> "CLIPSpec":
+        """Build from a MODEL.SPEC config node (resources/model/*.yaml)."""
+        spec = config.MODEL.SPEC
+        name = config.MODEL.NAME
+        patch = 16 if "16" in str(name) else 32
+        vision = spec.get("VISION", {}) or {}
+        text = spec.get("TEXT", {}) or {}
+        return CLIPSpec(
+            embed_dim=spec.get("EMBED_DIM", 512),
+            vision=VisionSpec(
+                patch_size=vision.get("PATCH_SIZE", patch),
+                width=768,
+                layers=vision.get("LAYERS", 12),
+                heads=12,
+                output_dim=spec.get("EMBED_DIM", 512),
+            ),
+            text=TextSpec(
+                context_length=text.get("CONTEXT_LENGTH", 77),
+                vocab_size=text.get("VOCAB_SIZE", 49408),
+                width=text.get("WIDTH", 512),
+                heads=text.get("HEADS", 8),
+                layers=text.get("LAYERS", 12),
+                output_dim=spec.get("EMBED_DIM", 512),
+            ),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Hook protocol (implemented by pevit_tpu/peft/base.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BlockHooks:
+    """Per-layer PEFT callbacks threaded through the scanned block.
+
+    ``attn_delta(shared, layer_params, x, rng) -> (q_delta, v_delta)`` with
+    (B, H, N, hd) outputs; ``mlp_post(shared, layer_params, m, rng) -> m'``.
+    Either may be None.  ``layer_params`` is the per-layer slice of the PEFT
+    tree; ``shared`` is the cross-layer shared subtree.
+    """
+
+    attn_delta: Optional[Callable] = None
+    mlp_post: Optional[Callable] = None
+
+
+# ---------------------------------------------------------------------------
+# Initialisation (distributional parity with reference CLIP.initialize_parameters,
+# model.py:1110-1137; used for tests/bench — real runs load OpenAI weights)
+# ---------------------------------------------------------------------------
+
+def _ln_init(width: int) -> dict:
+    return {"scale": jnp.ones((width,), jnp.float32), "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def _init_blocks(rng: jax.Array, n_layers: int, width: int) -> dict:
+    proj_std = (width ** -0.5) * ((2 * n_layers) ** -0.5)
+    attn_std = width ** -0.5
+    fc_std = (2 * width) ** -0.5
+    ks = jax.random.split(rng, 4)
+
+    def stack(key, shape, std):
+        return jax.random.normal(key, (n_layers, *shape), jnp.float32) * std
+
+    return {
+        "attn": {
+            "in_proj": {
+                "kernel": stack(ks[0], (width, 3 * width), attn_std),
+                "bias": jnp.zeros((n_layers, 3 * width), jnp.float32),
+            },
+            "out_proj": {
+                "kernel": stack(ks[1], (width, width), proj_std),
+                "bias": jnp.zeros((n_layers, width), jnp.float32),
+            },
+        },
+        "mlp": {
+            "c_fc": {
+                "kernel": stack(ks[2], (width, 4 * width), fc_std),
+                "bias": jnp.zeros((n_layers, 4 * width), jnp.float32),
+            },
+            "c_proj": {
+                "kernel": stack(ks[3], (4 * width, width), proj_std),
+                "bias": jnp.zeros((n_layers, width), jnp.float32),
+            },
+        },
+        "ln_1": {
+            "scale": jnp.ones((n_layers, width), jnp.float32),
+            "bias": jnp.zeros((n_layers, width), jnp.float32),
+        },
+        "ln_2": {
+            "scale": jnp.ones((n_layers, width), jnp.float32),
+            "bias": jnp.zeros((n_layers, width), jnp.float32),
+        },
+    }
+
+
+def init_clip_params(rng: jax.Array, spec: CLIPSpec) -> dict:
+    kv, kt, k1, k2, k3, k4, k5 = jax.random.split(rng, 7)
+    v, t = spec.vision, spec.text
+    scale = v.width ** -0.5
+    params = {
+        "visual": {
+            "patch_embed": {
+                "kernel": jax.random.normal(k1, (v.patch_size * v.patch_size * 3, v.width), jnp.float32)
+                * (3 * v.patch_size * v.patch_size) ** -0.5,
+            },
+            "class_embedding": scale * jax.random.normal(k2, (v.width,), jnp.float32),
+            "positional_embedding": scale
+            * jax.random.normal(k3, (v.seq_len, v.width), jnp.float32),
+            "ln_pre": _ln_init(v.width),
+            "blocks": _init_blocks(kv, v.layers, v.width),
+            "ln_post": _ln_init(v.width),
+            "proj": scale * jax.random.normal(k4, (v.width, v.output_dim), jnp.float32),
+        },
+        "text": {
+            "token_embedding": 0.02 * jax.random.normal(k5, (t.vocab_size, t.width), jnp.float32),
+            "positional_embedding": 0.01
+            * jax.random.normal(k1, (t.context_length, t.width), jnp.float32),
+            "blocks": _init_blocks(kt, t.layers, t.width),
+            "ln_final": _ln_init(t.width),
+            "text_projection": (t.width ** -0.5)
+            * jax.random.normal(k2, (t.width, t.output_dim), jnp.float32),
+        },
+        "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+def _run_blocks(
+    blocks: dict,
+    x: jax.Array,
+    *,
+    n_head: int,
+    mask: Optional[jax.Array],
+    peft: Optional[dict] = None,
+    hooks: Optional[BlockHooks] = None,
+    rng: Optional[jax.Array] = None,
+    n_layers: int,
+    remat: bool = False,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Scan the stacked transformer blocks over the residual stream."""
+    shared = (peft or {}).get("shared")
+    layer_tree = (peft or {}).get("layers")
+    rngs = (
+        jax.random.split(rng, n_layers)
+        if rng is not None
+        else jnp.zeros((n_layers, 2), jnp.uint32)
+    )
+
+    def block_fn(x, sliced):
+        block_p, layer_p, layer_rng = sliced
+        qv_delta_fn = None
+        mlp_post_fn = None
+        if hooks is not None and hooks.attn_delta is not None:
+            qv_delta_fn = partial(hooks.attn_delta, shared, layer_p, layer_rng)
+        if hooks is not None and hooks.mlp_post is not None:
+            mlp_post_fn = partial(hooks.mlp_post, shared, layer_p, layer_rng)
+        y = residual_attention_block(
+            block_p,
+            x,
+            n_head=n_head,
+            mask=mask,
+            qv_delta_fn=qv_delta_fn,
+            mlp_post_fn=mlp_post_fn,
+            use_pallas=use_pallas,
+        )
+        return y, None
+
+    scan_fn = jax.checkpoint(block_fn) if remat else block_fn
+    x, _ = jax.lax.scan(scan_fn, x, (blocks, layer_tree, rngs))
+    return x
+
+
+def encode_image(
+    params: dict,
+    x: jax.Array,
+    *,
+    spec: CLIPSpec,
+    peft: Optional[dict] = None,
+    hooks: Optional[BlockHooks] = None,
+    rng: Optional[jax.Array] = None,
+    compute_dtype: Any = jnp.float32,
+    remat: bool = False,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Visual tower forward (reference model.py:1034-1051).
+
+    ``x``: (B, H, W, 3) normalised float images.  Returns (B, embed_dim).
+    """
+    v = spec.vision
+    vp = params["visual"]
+    B = x.shape[0]
+    p, g = v.patch_size, v.grid
+
+    x = x.astype(compute_dtype)
+    # patchify == non-overlapping conv == one GEMM
+    x = x.reshape(B, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, p * p * 3)
+    x = x @ vp["patch_embed"]["kernel"].astype(compute_dtype)
+
+    cls = jnp.broadcast_to(vp["class_embedding"].astype(compute_dtype), (B, 1, v.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vp["positional_embedding"].astype(compute_dtype)
+    x = layer_norm(x, vp["ln_pre"]["scale"], vp["ln_pre"]["bias"])
+
+    x = _run_blocks(
+        vp["blocks"],
+        x,
+        n_head=v.heads,
+        mask=None,
+        peft=peft,
+        hooks=hooks,
+        rng=rng,
+        n_layers=v.layers,
+        remat=remat,
+        use_pallas=use_pallas,
+    )
+
+    x = layer_norm(x[:, 0, :], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    return x @ vp["proj"].astype(x.dtype)
+
+
+def encode_text(
+    params: dict,
+    tokens: jax.Array,
+    *,
+    spec: CLIPSpec,
+    compute_dtype: Any = jnp.float32,
+    remat: bool = False,
+) -> jax.Array:
+    """Text tower forward (reference model.py:1154-1167).
+
+    ``tokens``: (B, context_length) int32.  The text tower never carries PEFT
+    parameters (reference model.py:956 — stock attention via kattention=None).
+    """
+    t = spec.text
+    tp = params["text"]
+    x = tp["token_embedding"][tokens].astype(compute_dtype)
+    x = x + tp["positional_embedding"].astype(compute_dtype)
+    mask = causal_mask(t.context_length)
+
+    x = _run_blocks(
+        tp["blocks"], x, n_head=t.heads, mask=mask, n_layers=t.layers, remat=remat
+    )
+
+    x = layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
+    # features from the EOT embedding (highest token id per sequence)
+    eot = jnp.argmax(tokens, axis=-1)
+    x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0, :]
+    return x @ tp["text_projection"].astype(x.dtype)
+
+
+def clip_similarity(params: dict, image_features: jax.Array, text_features: jax.Array):
+    """Contrastive logits (reference model.py:1169-1183)."""
+    imf = image_features / jnp.linalg.norm(image_features, axis=-1, keepdims=True)
+    txf = text_features / jnp.linalg.norm(text_features, axis=-1, keepdims=True)
+    logit_scale = jnp.exp(params["logit_scale"])
+    logits_per_image = logit_scale * imf @ txf.T
+    return logits_per_image, logits_per_image.T

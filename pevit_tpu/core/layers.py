@@ -1,0 +1,154 @@
+"""Core neural-net layers for the TPU-native CLIP implementation.
+
+Pure functions over explicit parameter pytrees (nested dicts of jnp arrays).
+Weight convention: every linear kernel is stored ``(in_features, out_features)``
+so the hot path is ``x @ W`` (row-major MXU-friendly); torch checkpoints are
+transposed once at load time (see pevit_tpu/ckpt/torch_loader.py).
+
+Numerical quirks of the reference that are intentionally preserved:
+
+* LayerNorm always computes statistics in float32 and casts the result back
+  to the activation dtype (reference: evaluation/model.py:154-160).
+* QuickGELU ``x * sigmoid(1.702 x)`` in CLIP blocks (model.py:163-165),
+  distinct from the tanh-approx ``gelu_new`` used inside Compacter adapters
+  (compacter_model.py:338-345).
+* Softmax over attention logits runs in float32.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """fp32-island LayerNorm (reference model.py:154-160)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP activation (reference model.py:163-165)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def gelu_new(x: jax.Array) -> jax.Array:
+    """BERT/GPT tanh-approx GELU used by Compacter adapters
+    (reference compacter_model.py:338-345)."""
+    return 0.5 * x * (1.0 + jnp.tanh(math.sqrt(2.0 / math.pi) * (x + 0.044715 * jnp.power(x, 3))))
+
+
+def linear(x: jax.Array, params: dict) -> jax.Array:
+    y = x @ params["kernel"].astype(x.dtype)
+    if "bias" in params and params["bias"] is not None:
+        y = y + params["bias"].astype(x.dtype)
+    return y
+
+
+def mlp(params: dict, x: jax.Array) -> jax.Array:
+    """CLIP block MLP: c_fc (C->4C) -> QuickGELU -> c_proj (4C->C)."""
+    h = linear(x, params["c_fc"])
+    h = quick_gelu(h)
+    return linear(h, params["c_proj"])
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+DeltaFn = Callable[[jax.Array], tuple[Optional[jax.Array], Optional[jax.Array]]]
+
+
+def multi_head_attention(
+    params: dict,
+    x: jax.Array,
+    *,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    qv_delta_fn: Optional[DeltaFn] = None,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Self-attention over ``x`` of shape (B, N, C).
+
+    Faithful to the reference custom MHA forward (model.py:612-834):
+    * packed qkv in-projection,
+    * q scaled by 1/sqrt(head_dim) BEFORE the PEFT delta is added, so the
+      delta is not downscaled (quirk; model.py:786-798),
+    * ``qv_delta_fn(x)`` receives the pre-projection hidden states (the LN'd
+      block input) and returns per-head (B, H, N, hd) deltas for q and v.
+    """
+    B, N, C = x.shape
+    hd = C // n_head
+
+    qkv = linear(x, params["in_proj"])  # (B, N, 3C)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):  # (B, N, C) -> (B, H, N, hd)
+        return t.reshape(B, N, n_head, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    q = q * (1.0 / math.sqrt(hd))
+
+    if qv_delta_fn is not None:
+        q_delta, v_delta = qv_delta_fn(x)
+        if q_delta is not None:
+            q = q + q_delta.astype(q.dtype)
+        if v_delta is not None:
+            v = v + v_delta.astype(v.dtype)
+
+    if use_pallas:
+        from ..ops.attention import fused_attention
+
+        out = fused_attention(q, k, v, mask=mask)
+    else:
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = logits + mask.astype(logits.dtype)
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+
+    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    return linear(out, params["out_proj"])
+
+
+def residual_attention_block(
+    params: dict,
+    x: jax.Array,
+    *,
+    n_head: int,
+    mask: Optional[jax.Array] = None,
+    qv_delta_fn: Optional[DeltaFn] = None,
+    mlp_post_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """One CLIP transformer block (reference model.py:947-975).
+
+    ``mlp_post_fn`` (bottleneck-adapter / Compacter hook) receives the MLP
+    output ``m = mlp(ln_2(x))`` and returns what is added to the residual
+    stream in its place (reference adapter_model.py:330-336,
+    compacter_model.py:497-503 — both compute ``x + f(m)`` where ``f``
+    internally re-adds ``m``).
+    """
+    h = layer_norm(x, params["ln_1"]["scale"], params["ln_1"]["bias"])
+    x = x + multi_head_attention(
+        params["attn"], h, n_head=n_head, mask=mask, qv_delta_fn=qv_delta_fn,
+        use_pallas=use_pallas,
+    )
+    m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]))
+    if mlp_post_fn is not None:
+        m = mlp_post_fn(m)
+    return x + m
+
+
+def causal_mask(n: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask (reference model.py:1139-1145)."""
+    return jnp.triu(jnp.full((n, n), float("-inf"), dtype=dtype), k=1)
