@@ -1,0 +1,220 @@
+"""Dataset sources: in-memory datasets from local storage (no torch/network).
+
+The reference streams ELEVATER datasets from an Azure blob through the
+``vision_datasets`` package (feature.py:551-598) and falls back to
+torchvision ImageFolder (feature.py:599-607).  This environment has no
+network egress and no torchvision, so sources resolve locally, in order:
+
+1. a preprocessed ``.npz`` cache (``{split}.npz`` with images uint8 + labels)
+   — the fast path the loader itself writes,
+2. CIFAR-10/100 python-pickle batches if present under DATASET.ROOT,
+3. an ImageFolder tree (``root/{split}/{class_name}/*.jpg``) decoded with PIL,
+4. an ELEVATER-style ``{split}.json`` manifest (images list with file paths
+   + label ids) next to the images,
+5. a deterministic synthetic dataset (smoke tests / benchmarks) when the
+   dataset name starts with ``synthetic`` or nothing else resolves and
+   ``allow_synthetic`` is set.
+
+Few-shot subsetting and the class-balanced val split happen in
+``build_splits`` with reference-exact semantics (see sampling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import pickle
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .registry import get_dataset_info
+from .sampling import class_balanced_val_split, sample_few_shot_subset
+from .transforms import preprocess_batch, resize_center_crop
+
+
+@dataclass
+class ArrayDataset:
+    """The in-memory dataset unit: uint8 images + labels."""
+
+    images: np.ndarray  # (N, H, W, 3) uint8
+    labels: np.ndarray  # (N,) int64 or (N, C) float32 multihot
+
+    def __len__(self):
+        return len(self.labels)
+
+    def subset(self, idx) -> "ArrayDataset":
+        idx = np.asarray(idx)
+        return ArrayDataset(self.images[idx], self.labels[idx])
+
+
+# ---------------------------------------------------------------------------
+# individual source loaders
+# ---------------------------------------------------------------------------
+
+def _load_npz(root: Path, split: str) -> Optional[ArrayDataset]:
+    f = root / f"{split}.npz"
+    if not f.exists():
+        return None
+    z = np.load(f)
+    return ArrayDataset(z["images"], z["labels"])
+
+
+_CIFAR10_FILES = {
+    "train": [f"data_batch_{i}" for i in range(1, 6)],
+    "test": ["test_batch"],
+}
+
+
+def _load_cifar(root: Path, split: str, image_size: int) -> Optional[ArrayDataset]:
+    # CIFAR-10 python version layout
+    base10 = root / "cifar-10-batches-py"
+    base100 = root / "cifar-100-python"
+    if base10.exists():
+        files = _CIFAR10_FILES["train" if split == "train" else "test"]
+        xs, ys = [], []
+        for fn in files:
+            with open(base10 / fn, "rb") as f:
+                d = pickle.load(f, encoding="bytes")
+            xs.append(d[b"data"])
+            ys.extend(d[b"labels"])
+        x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    elif base100.exists():
+        fn = "train" if split == "train" else "test"
+        with open(base100 / fn, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        ys = d[b"fine_labels"]
+    else:
+        return None
+    logging.info("Resizing %d CIFAR images to %d (PIL bicubic)...", len(x), image_size)
+    images = preprocess_batch(list(x), image_size)
+    return ArrayDataset(images, np.asarray(ys, np.int64))
+
+
+def _load_imagefolder(root: Path, split: str, image_size: int) -> Optional[ArrayDataset]:
+    d = root / split
+    if not d.is_dir():
+        return None
+    classes = sorted(p.name for p in d.iterdir() if p.is_dir())
+    if not classes:
+        return None
+    from PIL import Image
+
+    xs, ys = [], []
+    for ci, cname in enumerate(classes):
+        for f in sorted((d / cname).iterdir()):
+            if f.suffix.lower() not in (".jpg", ".jpeg", ".png", ".bmp", ".webp"):
+                continue
+            try:
+                with Image.open(f) as im:
+                    xs.append(resize_center_crop(im, image_size))
+                ys.append(ci)
+            except Exception as e:  # corrupt images tolerated (feature.py:47-49)
+                logging.warning("skipping corrupt image %s: %s", f, e)
+    if not xs:
+        return None
+    return ArrayDataset(np.stack(xs), np.asarray(ys, np.int64))
+
+
+def _load_manifest(root: Path, split: str, image_size: int, num_classes: int) -> Optional[ArrayDataset]:
+    f = root / f"{split}.json"
+    if not f.exists():
+        return None
+    manifest = json.loads(f.read_text())
+    from PIL import Image
+
+    xs, ys = [], []
+    multilabel = any(isinstance(e.get("labels"), list) and len(e["labels"]) != 1 for e in manifest["images"])
+    for e in manifest["images"]:
+        p = root / e["path"]
+        with Image.open(p) as im:
+            xs.append(resize_center_crop(im, image_size))
+        labels = e["labels"] if isinstance(e["labels"], list) else [e["labels"]]
+        if multilabel:
+            vec = np.zeros(num_classes, np.float32)
+            vec[np.asarray(labels, int)] = 1.0
+            ys.append(vec)
+        else:
+            ys.append(int(labels[0]))
+    labels = np.stack(ys) if multilabel else np.asarray(ys, np.int64)
+    return ArrayDataset(np.stack(xs), labels)
+
+
+def _synthetic(name: str, split: str, image_size: int, num_classes: int) -> ArrayDataset:
+    """Deterministic class-separable synthetic data (tests/benchmarks)."""
+    seed = abs(hash((name, split))) % (2**31)
+    rng = np.random.default_rng(seed)
+    n = {"train": 32 * max(2, num_classes), "val": 8 * max(2, num_classes), "test": 16 * max(2, num_classes)}[split]
+    base = rng.integers(30, 225, (max(num_classes, 1), 3))
+    ys = rng.integers(0, max(num_classes, 1), n)
+    imgs = base[ys][:, None, None, :] + rng.normal(0, 30, (n, image_size, image_size, 3))
+    return ArrayDataset(np.clip(imgs, 0, 255).astype(np.uint8), ys.astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def load_split(
+    name: str,
+    root: str,
+    split: str,
+    *,
+    image_size: int = 224,
+    num_classes: int = 0,
+    allow_synthetic: bool = True,
+    cache: bool = True,
+) -> ArrayDataset:
+    rootp = Path(root) if root else Path(".")
+    ds = _load_npz(rootp, split)
+    if ds is None and name.startswith("cifar"):
+        ds = _load_cifar(rootp, split, image_size)
+    if ds is None:
+        ds = _load_imagefolder(rootp, split, image_size)
+    if ds is None:
+        ds = _load_manifest(rootp, split, image_size, num_classes)
+    if ds is None:
+        if not (allow_synthetic or name.startswith("synthetic")):
+            raise FileNotFoundError(f"No local data for dataset {name!r} under {root!r}")
+        logging.warning("dataset %s not found under %s; using synthetic data", name, root)
+        ds = _synthetic(name, split, image_size, num_classes)
+    elif cache and not (rootp / f"{split}.npz").exists():
+        try:
+            rootp.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(rootp / f"{split}.npz", images=ds.images, labels=ds.labels)
+        except OSError:
+            pass
+    return ds
+
+
+def build_splits(config, *, test_split_only: bool = False):
+    """construct_dataloader equivalent (feature.py:534-609): returns
+    (train, val, test) ArrayDatasets with few-shot subset + 0.2 val split."""
+    name = config.DATASET.DATASET
+    info = get_dataset_info(name)
+    num_classes = config.DATASET.NUM_CLASSES or info.num_classes
+    image_size = config.TRAIN.IMAGE_SIZE[0]
+    root = config.DATASET.ROOT
+
+    test = load_split(name, root, "test", image_size=image_size, num_classes=num_classes)
+    if test_split_only:
+        return None, None, test
+
+    # train split may live in 'train' (+optional separate val dir)
+    full_train = load_split(name, root, "train", image_size=image_size, num_classes=num_classes)
+
+    n_shot = config.DATASET.NUM_SAMPLES_PER_CLASS
+    if n_shot > 0:
+        idx = sample_few_shot_subset(full_train.labels, n_shot, config.DATASET.RANDOM_SEED_SAMPLING)
+        full_train = full_train.subset(idx)
+        logging.info("few-shot subset: %d-shot seed %d -> %d images",
+                     n_shot, config.DATASET.RANDOM_SEED_SAMPLING, len(full_train))
+
+    train_idx, val_idx = class_balanced_val_split(full_train.labels, val_split=0.2)
+    train, val = full_train.subset(train_idx), full_train.subset(val_idx)
+    logging.info("splits: train=%d val=%d test=%d", len(train), len(val), len(test))
+    return train, val, test

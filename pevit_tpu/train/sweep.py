@@ -1,0 +1,171 @@
+"""Hyperparameter sweep: the reference grid walk, executed as vmapped stages.
+
+The reference sweep (kadaptation_clip.py:188-243, 446-466) is, per learning
+rate: 7 coarse weight-decay probes over a 97-point log grid, then a binary
+refinement with step spans 8/4/2/1 (2 probes each) — every probe a FULL
+10-epoch training, all strictly sequential: up to 6 x 15 = 90 trainings per
+(dataset, seed).
+
+TPU redesign: trials are data-independent, so each *stage* of the walk runs
+as ONE vmapped batch across all candidates AND all learning rates (the walks
+for different LRs are independent and advance in lockstep).  Sequential
+stages: 1 coarse + 4 refinement = 5, instead of 90 trainings.  Selection
+semantics (strict >, iteration order, WD_SEARCH_LEFT, score-0-on-failure) are
+reproduced exactly so the same (lr, wd) wins as in the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+from .trainer import TrainTask
+
+
+def wd_grid(config):
+    """The 97-point grid + 7 coarse seed indices (kadaptation_clip.py:191-192)."""
+    lo, hi = config.TRAIN.SEARCH_WD_LOG_LOWER, config.TRAIN.SEARCH_WD_LOG_UPPER
+    grid = np.logspace(lo, hi, num=97).tolist()
+    seed_vals = set(np.logspace(lo, hi, num=7))
+    init_idx = [i for i, v in enumerate(grid) if v in seed_vals]
+    return grid, init_idx
+
+
+def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max_parallel: int):
+    """Run a stage of (lr, wd) trials, chunked to ``max_parallel`` per vmap.
+
+    Returns scores aligned with ``jobs``.  Failures score 0.0, mirroring the
+    reference's try/except-0.0 (kadaptation_clip.py:200-205)."""
+    train_x, train_y, val_x, val_y = data
+    scores = []
+    for s in range(0, len(jobs), max_parallel):
+        chunk = jobs[s : s + max_parallel]
+        try:
+            res = task.train_trials(
+                chunk, train_x, train_y, val_x, val_y, end_epoch=end_epoch, seed=seed
+            )
+            use_last = task.config.TRAIN.SEARCH_RESULT_ON_LAST_EPOCH
+            for r in res:
+                v = r["last_score"] if use_last else r["best_score"]
+                scores.append(0.0 if not np.isfinite(v) else float(v))
+        except Exception as e:  # noqa: BLE001 — parity with reference failure handling
+            logging.warning("sweep stage chunk failed (%s); scoring 0", e)
+            scores.extend([0.0] * len(chunk))
+    return scores
+
+
+def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
+    """Joint (lr, wd) search (kadaptation_clip.py:446-466 + :188-243).
+
+    All learning rates advance through the wd-walk in lockstep; each stage is
+    one (chunked) vmapped trial batch.
+    """
+    start = time.time()
+    lrs = np.logspace(-6, -1, num=6).tolist()
+    grid, init_idx = wd_grid(config)
+    end_epoch = config.TRAIN.END_EPOCH
+    max_parallel = max(1, config.TPU.SWEEP_PARALLEL_TRIALS)
+    wd_search_left = config.TRAIN.WD_SEARCH_LEFT
+
+    # per-LR walk state
+    peak_idx = {lr: -1 for lr in lrs}
+    peak_score = {lr: 0.0 for lr in lrs}
+
+    # --- stage 0: coarse grid, all LRs at once -----------------------------
+    jobs = [(lr, grid[idx]) for lr in lrs for idx in init_idx]
+    scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel)
+    k = 0
+    for lr in lrs:
+        for idx in init_idx:
+            if scores[k] > peak_score[lr]:
+                peak_idx[lr], peak_score[lr] = idx, scores[k]
+            k += 1
+        logging.info(
+            "=> LR %.1e coarse: peak wd %s score %.3f",
+            lr, grid[peak_idx[lr]], peak_score[lr],
+        )
+
+    # --- refinement stages: step_span 8,4,2,1 -------------------------------
+    step_span = 8
+    while step_span > 0:
+        jobs, meta = [], []
+        for lr in lrs:
+            p = peak_idx[lr]
+            left, right = max(p - step_span, 0), min(p + step_span, len(grid) - 1)
+            search = [i for i in (left, right) if i != p]
+            for idx in search:
+                # WD_SEARCH_LEFT trains list[left] but credits list[idx]
+                # (kadaptation_clip.py:221-225) — legacy mode kept verbatim
+                wd = grid[left] if wd_search_left else grid[idx]
+                jobs.append((lr, wd))
+                meta.append((lr, idx))
+        scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel)
+        for (lr, idx), sc in zip(meta, scores):
+            if sc > peak_score[lr]:
+                peak_idx[lr], peak_score[lr] = idx, sc
+        step_span //= 2
+
+    # --- pick best LR (strict >, iteration order; :453-462) -----------------
+    best_lr, best_wd, best_score = 0.0, 0.0, 0.0
+    for lr in lrs:
+        if peak_score[lr] > best_score:
+            best_score = peak_score[lr]
+            best_lr = lr
+            best_wd = grid[peak_idx[lr]]
+    logging.info(
+        "Hyper parameter tuning result: learning rate %s, l2_lambda %s (%.1fs)",
+        best_lr, best_wd, time.time() - start,
+    )
+    return best_lr, best_wd
+
+
+def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2: float, seed: int = 0):
+    """Full method driver (reference ``kadapt_clip`` et al.,
+    kadaptation_clip.py:488-520): optional sweep -> final run on merged
+    train+val with END_EPOCH + EXTRA_FINAL_TRAIN_EPOCH."""
+    train_x, train_y, val_x, val_y, test_x, test_y = data
+
+    if no_tuning:
+        best_lr, best_wd = lr, l2
+    else:
+        best_lr, best_wd = hyperparameter_sweep_lr(
+            task, (train_x, train_y, val_x, val_y), config, seed=seed
+        )
+
+    logging.info("=> The final classifier is on training ...")
+    logging.info("Hyperparameters: learning_rate = %s, l2_lambda = %s", best_lr, best_wd)
+    end_epoch = config.TRAIN.END_EPOCH + config.TRAIN.EXTRA_FINAL_TRAIN_EPOCH
+
+    if config.DATASET.MERGE_TRAIN_VAL_FINAL_RUN:
+        import jax.numpy as jnp
+
+        final_x = jnp.concatenate([train_x, val_x], axis=0)
+        final_y = jnp.concatenate([train_y, val_y], axis=0)
+        logging.info("Using the full trainval set to train final model. len=%d", final_y.shape[0])
+    else:
+        final_x, final_y = train_x, train_y
+        logging.info("Using the train set only to train final model. len=%d", final_y.shape[0])
+
+    res = task.train_trials(
+        [(best_lr, best_wd)],
+        final_x,
+        final_y,
+        test_x,
+        test_y,
+        end_epoch=end_epoch,
+        seed=seed,
+        keep_logits=True,
+        log_every=1,
+    )[0]
+
+    import jax
+
+    model_info = task.model_info(jax.tree.map(lambda a: a[0], task._last_state[0]))
+    model_info["best_logits"] = res["best_logits"]
+    logging.info(
+        "=> Learning rate %s, L2 lambda %s: Best score: Acc@1 %.3f",
+        best_lr, best_wd, res["best_score"],
+    )
+    return res["best_score"], model_info

@@ -1,0 +1,124 @@
+"""End-to-end trainer tests on a tiny synthetic task (CPU).
+
+A 2-layer tiny CLIP + each PEFT method must LEARN a linearly-separable
+synthetic image task, and the vmapped multi-trial path must agree with
+sequential single-trial runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pevit_tpu.config import get_default_config
+from pevit_tpu.core import CLIPSpec, TextSpec, VisionSpec, init_clip_params
+from pevit_tpu.peft import PeftConfig
+from pevit_tpu.train import TaskStatic, TrainTask
+
+TINY = CLIPSpec(
+    embed_dim=32,
+    vision=VisionSpec(input_resolution=32, patch_size=16, width=64, layers=2, heads=2, output_dim=32),
+    text=TextSpec(context_length=8, vocab_size=64, width=32, heads=2, layers=2, output_dim=32),
+)
+N_CLASSES = 4
+
+
+def synth_data(n_per_class=12, size=32, seed=0):
+    """Images whose mean colour encodes the class: trivially separable."""
+    rng = np.random.default_rng(seed)
+    xs, ys = [], []
+    base = np.array([[220, 40, 40], [40, 220, 40], [40, 40, 220], [200, 200, 40]], np.float32)
+    for c in range(N_CLASSES):
+        img = base[c][None, None, None, :] + rng.normal(0, 25, (n_per_class, size, size, 3))
+        xs.append(np.clip(img, 0, 255).astype(np.uint8))
+        ys.append(np.full(n_per_class, c, np.int64))
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    perm = rng.permutation(len(y))
+    return jnp.asarray(x[perm]), jnp.asarray(y[perm].astype(np.int32))
+
+
+def make_task(method="linear_probe", batch_size=8):
+    cfg = get_default_config()
+    cfg.DATASET.NUM_CLASSES = N_CLASSES
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = batch_size
+    cfg.TEST.METRIC = "accuracy"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.REMAT = False
+    cfg.TPU.USE_PALLAS_ATTENTION = False
+    static = TaskStatic.from_config(cfg, TINY, PeftConfig(method=method))
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    return TrainTask(cfg, static, clip_params, eval_chunk=32), cfg
+
+
+@pytest.mark.parametrize("method", ["linear_probe", "kadaptation", "lora", "adapter", "compacter", "full_finetune"])
+def test_methods_learn_synthetic_task(method):
+    train_x, train_y = synth_data(12, seed=0)
+    val_x, val_y = synth_data(6, seed=1)
+    task, _ = make_task(method)
+    res = task.train_trials(
+        [(0.01, 1e-4)], train_x, train_y, val_x, val_y, end_epoch=8, seed=0, keep_logits=True
+    )[0]
+    assert res["best_score"] > 60.0, f"{method}: {res}"  # 4 classes, chance 25
+    assert res["best_logits"].shape == (24, N_CLASSES)
+    np.testing.assert_allclose(res["best_logits"].sum(-1), 1.0, rtol=1e-4)
+
+
+def test_vmapped_trials_match_sequential():
+    """Trials trained in one vmapped batch must equal the same trials trained
+    one-by-one (same seeds => identical inits and identical math)."""
+    train_x, train_y = synth_data(8, seed=2)
+    val_x, val_y = synth_data(4, seed=3)
+    hparams = [(0.01, 1e-4), (0.001, 1e-2), (0.1, 1e-5)]
+
+    task, _ = make_task("lora")
+    batched = task.train_trials(hparams, train_x, train_y, val_x, val_y, end_epoch=3, seed=0)
+
+    seq_scores = []
+    for i, hp in enumerate(hparams):
+        task_i, _ = make_task("lora")
+        # single-trial batch; per-trial rngs are derived from (seed, trial_idx)
+        # so sequential reproduction must re-run with the same trial layout
+        r = task_i.train_trials(
+            hparams[: i + 1], train_x, train_y, val_x, val_y, end_epoch=3, seed=0
+        )
+        seq_scores.append(r[i]["best_score"])
+
+    for i in range(len(hparams)):
+        assert batched[i]["best_score"] == pytest.approx(seq_scores[i], abs=1e-3), (
+            batched,
+            seq_scores,
+        )
+
+
+def test_model_info_counts():
+    task, _ = make_task("kadaptation")
+    trainable, frozen, _ = task.init_bundle(jax.random.PRNGKey(0))
+    info = task.model_info(trainable)
+    # kadaptation tiny: 2 layers x (4*32*2 + 64) + 4096 shared + head 32*4+4
+    from pevit_tpu.peft import kadaptation
+
+    expected_peft = kadaptation.num_params(2, 64)
+    assert info["n_trainable_params"] == expected_peft + 32 * 4 + 4
+    assert info["n_backbone_params"] > info["n_visual_params"]
+
+
+def test_multilabel_bce_path():
+    train_x, train_y = synth_data(8, seed=4)
+    onehot = jnp.asarray(np.eye(N_CLASSES, dtype=np.float32)[np.asarray(train_y)])
+    cfg = get_default_config()
+    cfg.DATASET.NUM_CLASSES = N_CLASSES
+    cfg.DATASET.DATASET = "voc-2007-classification"  # multilabel dataset
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
+    cfg.TEST.METRIC = "11point_mAP"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.REMAT = False
+    cfg.TPU.USE_PALLAS_ATTENTION = False
+    static = TaskStatic.from_config(cfg, TINY, PeftConfig(method="linear_probe"))
+    assert static.multilabel
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    task = TrainTask(cfg, static, clip_params, eval_chunk=32)
+    res = task.train_trials(
+        [(0.01, 1e-4)], train_x, onehot, train_x, onehot, end_epoch=4, seed=0
+    )[0]
+    assert res["best_score"] > 60.0
