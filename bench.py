@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark: KAdaptation ViT-B/32 training throughput (images/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The reference publishes no throughput numbers (SURVEY.md §6); the baseline
+constant below is an engineering estimate of the reference's torch fp32
+KAdaptation train-step throughput on its published hardware (NVIDIA A6000,
+CUDA 11.4): ViT-B/32 fwd+bwd ~13 GFLOPs/img plus the eager-mode kron/dropout
+overhead of the custom attention (model.py:563-584,786-817) puts it in the
+600-900 img/s band; we use 800 img/s.  The BASELINE.md target is >=3x this
+per chip.
+
+Measures the cached whole-epoch jit (train step only, eval excluded) on
+synthetic data — throughput is weight-independent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+A6000_BASELINE_IMGS_PER_SEC = 800.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--n-train", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--method", type=str, default="kadaptation")
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.core import CLIPSpec, init_clip_params
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.train import TaskStatic, TrainTask
+    from pevit_tpu.train.optim import make_optimizer
+    from pevit_tpu.train.trainer import build_epoch_fn
+
+    cfg = get_default_config()
+    cfg.DATASET.NUM_CLASSES = 100
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = args.batch
+    cfg.TEST.METRIC = "accuracy"
+    cfg.TPU.COMPUTE_DTYPE = args.dtype
+    cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
+
+    spec = CLIPSpec.vit_b32()
+    clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
+    static = TaskStatic.from_config(cfg, spec, PeftConfig(method=args.method))
+    task = TrainTask(cfg, static, clip_params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
+
+    n = args.n_train
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 100, (n,), dtype=np.int64).astype(np.int32))
+
+    epoch = jax.jit(build_epoch_fn(static, n, task.preproc), donate_argnums=(3,))
+    opt_init, _ = make_optimizer("sgd")
+    state = (trainable, opt_init(trainable), bn_state, jax.random.PRNGKey(2))
+    lr, wd = jnp.float32(0.01), jnp.float32(1e-4)
+
+    # warm-up / compile
+    state = epoch(frozen, images, labels, state, lr, wd)
+    jax.block_until_ready(jax.tree.leaves(state[0])[0])
+
+    t0 = time.perf_counter()
+    for _ in range(args.epochs):
+        state = epoch(frozen, images, labels, state, lr, wd)
+    jax.block_until_ready(jax.tree.leaves(state[0])[0])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = args.epochs * n / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.method} ViT-B/32 train throughput (batch {args.batch}, {args.dtype})",
+                "value": round(imgs_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / A6000_BASELINE_IMGS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,229 @@
+"""Shared command-layer skeleton.
+
+The reference duplicates ~130 lines of main() per command
+(commands/linear_probe.py:47-136, kronecker_adaptation_clip.py:90-173, ...);
+here the shared flow lives once and each command is a thin wrapper.  All
+reference CLI surface and behaviours are preserved:
+
+* ``--ds/--model`` double update_config, ``--no-tuning/--lr/--l2/--run/
+  --fix_seed/--submit-predictions/--submit-by/--save-predictions`` + yacs
+  ``KEY VALUE`` REMAINDER opts,
+* seed fixing, 1-shot -> 2-shot bump with MERGE_TRAIN_VAL_FINAL_RUN=False
+  (linear_probe.py:81-85), patch-camelyon full-shot -> 10000-shot HP-search
+  subset (:97-103), --emulate-zeroshot tweaks (:69-76),
+* prediction JSON schema + float-precision dump (:116-135) and the summary
+  TXT with the exact ``best acc is:...`` strings the result scrapers parse
+  (kronecker_adaptation_clip.py:169-173).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import random
+
+import numpy as np
+
+from ..config import get_default_config, update_config
+from ..utils import create_logger, dist as comm, log_config
+
+# exact reference exp_name prefixes (all PEFT commands share 'finetuning_' —
+# commands/kronecker_adaptation_clip.py:113, adapter_clip.py:69, lora_clip.py:68,
+# compacter_clip.py:112, finetune.py:68; linear_probe.py:79)
+EXP_PREFIX = {
+    "kadaptation": "finetuning",
+    "adapter": "finetuning",
+    "lora": "finetuning",
+    "compacter": "finetuning",
+    "linear_probe": "linear_probe",
+    "full_finetune": "finetuning",
+}
+
+
+def add_common_args(parser, *, probe: bool = False):
+    parser.add_argument("--ds", required=False, help="Evaluation dataset configure file name.", type=str)
+    parser.add_argument("--model", required=True, help="Evaluation model configure file name", type=str)
+    parser.add_argument("--submit-predictions", help="submit predictions and model info to leaderboard.", default=False, action="store_true")
+    parser.add_argument("--submit-by", help="Person who submits the results.", type=str)
+    parser.add_argument("--no-tuning", help="No hyperparameter-tuning.", default=False, type=lambda x: str(x).lower() == "true")
+    if probe:
+        parser.add_argument("--emulate-zeroshot", help="Emulate zero shot learning.", default=False, type=str)
+    parser.add_argument("--l2", help="(Inverse) L2 regularization strength. Only used with --no-tuning True.", default=0.316, type=float)
+    parser.add_argument("--lr", help="Learning rate. Only used with --no-tuning True.", default=0.001, type=float)
+    parser.add_argument("--run", help="Run id", default=1, type=int)
+    parser.add_argument("--fix_seed", help="Fix the random seed. [-1] not fixing the seeds", default=0, type=int)
+    parser.add_argument("--save-predictions", help="save predictions logits for analysis.", default=True, action="store_true")
+    parser.add_argument("opts", help="Modify config options using the command-line", default=None, nargs=argparse.REMAINDER)
+    return parser
+
+
+def setup_config(args):
+    config = get_default_config()
+    args.cfg = args.ds
+    if args.ds:
+        update_config(config, args)
+    args.cfg = args.model
+    update_config(config, args)
+    config.defrost()
+    config.NAME = ""
+    config.freeze()
+
+    if args.submit_predictions:
+        assert args.submit_by
+
+    if args.fix_seed != -1:
+        random.seed(args.fix_seed)
+        np.random.seed(args.fix_seed)
+    return config
+
+
+def apply_shared_dataset_tweaks(config, exp_base: str):
+    """1-shot bump + exp naming + patch-camelyon subset."""
+    n_samples = (
+        str(config.DATASET.NUM_SAMPLES_PER_CLASS)
+        if config.DATASET.NUM_SAMPLES_PER_CLASS > 0
+        else "full"
+    )
+    exp_name = f"{exp_base}_{n_samples}"
+    if config.TRAIN.TWO_LR:
+        exp_name += "_two_lr"
+
+    if config.DATASET.NUM_SAMPLES_PER_CLASS == 1:
+        config.defrost()
+        config.DATASET.NUM_SAMPLES_PER_CLASS = 2
+        config.DATASET.MERGE_TRAIN_VAL_FINAL_RUN = False
+        config.freeze()
+
+    if config.DATASET.DATASET == "patch-camelyon" and config.DATASET.NUM_SAMPLES_PER_CLASS == -1:
+        logging.info("Detecting large dataset with %d-shot.", config.DATASET.NUM_SAMPLES_PER_CLASS)
+        config.defrost()
+        config.DATASET.NUM_SAMPLES_PER_CLASS = 10000
+        config.freeze()
+        logging.info("Used the subset (%d-shot) to train the model.", config.DATASET.NUM_SAMPLES_PER_CLASS)
+    return exp_name
+
+
+def json_prec_dump(data, prec: int = 6) -> str:
+    return json.dumps(json.loads(json.dumps(data), parse_float=lambda x: round(float(x), prec)))
+
+
+def dump_artifacts(config, exp_name: str, best_acc: float, model_info: dict, *, txt: bool = True):
+    test_predictions = model_info.get("best_logits")
+    results_dict = {
+        "model_name": config.MODEL.NAME,
+        "dataset_name": config.DATASET.DATASET,
+        "num_trainable_params": model_info.get("n_trainable_params", None),
+        "num_params": model_info.get("n_params", None),
+        "num_visual_params": model_info.get("n_visual_params", None),
+        "num_backbone_params": model_info.get("n_backbone_params", None),
+        "n_shot": config.DATASET.NUM_SAMPLES_PER_CLASS,
+        "rnd_seeds": [config.DATASET.RANDOM_SEED_SAMPLING],
+        "predictions": [test_predictions.tolist()] if test_predictions is not None else [],
+    }
+    prediction_folder = os.path.join(config.OUTPUT_DIR, "predictions", exp_name)
+    os.makedirs(prediction_folder, exist_ok=True)
+    tag = f"seed{config.DATASET.RANDOM_SEED_SAMPLING}_{config.DATASET.DATASET}"
+    with open(os.path.join(prediction_folder, f"{tag}.json"), "w") as f:
+        f.write(json_prec_dump(results_dict))
+    if txt:
+        num_params = model_info.get("n_params", None)
+        num_trainable_params = model_info.get("n_trainable_params", None)
+        n_backbone_params = model_info.get("n_backbone_params", None)
+        with open(os.path.join(prediction_folder, f"{tag}.txt"), "w") as f:
+            f.write(
+                f"best acc is:{best_acc}, num_params is:{num_params}, "
+                f"n_trainable_params is:{num_trainable_params / 1000000}, "
+                f"backbone_params is:{n_backbone_params}."
+            )
+    return prediction_folder
+
+
+def load_device_data(config):
+    """Build splits and move them to device as uint8 + labels."""
+    import jax.numpy as jnp
+
+    from ..data.registry import get_dataset_info
+    from ..data.sources import build_splits
+
+    info = get_dataset_info(config.DATASET.DATASET)
+    train, val, test = build_splits(config)
+
+    def to_dev(ds):
+        labels = ds.labels
+        if info.multilabel and labels.ndim == 1:
+            onehot = np.zeros((len(labels), config.DATASET.NUM_CLASSES), np.float32)
+            onehot[np.arange(len(labels)), labels.astype(int)] = 1
+            labels = onehot
+        lab = jnp.asarray(labels.astype(np.float32 if labels.ndim == 2 else np.int32))
+        return jnp.asarray(ds.images), lab
+
+    return to_dev(train) + to_dev(val) + to_dev(test)
+
+
+def run_training_command(method: str, *, description: str, probe: bool = False, argv=None):
+    """The full shared main() used by the six training commands."""
+    from ..utils.platform import ensure_platform
+
+    ensure_platform()
+    import jax
+
+    parser = argparse.ArgumentParser(description=description)
+    add_common_args(parser, probe=probe)
+    args = parser.parse_args(argv)
+    config = setup_config(args)
+
+    if probe and getattr(args, "emulate_zeroshot", False):
+        args.no_tuning = True
+        config.defrost()
+        config.TRAIN.END_EPOCH = 1
+        config.TRAIN.EXTRA_FINAL_TRAIN_EPOCH = 0
+        config.DATASET.NUM_SAMPLES_PER_CLASS = 0
+        config.TRAIN.EMULATE_ZERO_SHOT = True
+        config.freeze()
+
+    exp_name = apply_shared_dataset_tweaks(config, EXP_PREFIX[method] + ("" if method != "linear_probe" else "") )
+    final_output_dir = create_logger(config, exp_name)
+    if comm.is_main_process():
+        log_config(config, args)
+
+    from ..ckpt import load_clip
+    from ..evaluation import extract_text_features
+    from ..peft import PeftConfig
+    from ..train import TaskStatic, TrainTask, run_method
+
+    data = load_device_data(config)
+
+    from ..core.clip import CLIPSpec
+
+    ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
+    clip_params, spec = load_clip(
+        config.MODEL.NAME,
+        checkpoint_path=ckpt,
+        seed=args.fix_seed,
+        spec_hint=CLIPSpec.from_config(config),
+    )
+
+    text_weights = None
+    if config.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER:
+        try:
+            text_weights = extract_text_features(config, clip_params, spec)
+        except ValueError as e:
+            logging.warning("text head init unavailable (%s); using random head init", e)
+
+    peft_cfg = PeftConfig(method=method)
+    static = TaskStatic.from_config(config, spec, peft_cfg)
+    task = TrainTask(config, static, clip_params, text_init_weights=text_weights)
+
+    logging.info("Running %s. This may take several minutes to hours depending on the data size.", method)
+    best_acc, model_info = run_method(
+        task, data, config,
+        no_tuning=args.no_tuning, lr=args.lr, l2=args.l2,
+        seed=args.fix_seed if args.fix_seed != -1 else 0,
+    )
+
+    if args.save_predictions:
+        dump_artifacts(config, exp_name, best_acc, model_info, txt=True)
+    logging.info("=> Finished: best %s = %.3f", config.TEST.METRIC or "accuracy", best_acc)
+    return best_acc, model_info

@@ -80,20 +80,29 @@ class CLIPSpec:
 
     @staticmethod
     def from_config(config) -> "CLIPSpec":
-        """Build from a MODEL.SPEC config node (resources/model/*.yaml)."""
+        """Build from a MODEL.SPEC config node (resources/model/*.yaml).
+
+        Only consulted for random-init models (tests/benchmarks); real
+        checkpoints carry their architecture (ckpt.infer_spec_from_state_dict,
+        mirroring reference model.py:1210-1233).  ``input_resolution`` follows
+        TRAIN.IMAGE_SIZE so tiny test images produce tiny towers.
+        """
         spec = config.MODEL.SPEC
         name = config.MODEL.NAME
         patch = 16 if "16" in str(name) else 32
         vision = spec.get("VISION", {}) or {}
         text = spec.get("TEXT", {}) or {}
+        embed = spec.get("EMBED_DIM", 512)
+        vwidth = vision.get("WIDTH", 768)
         return CLIPSpec(
-            embed_dim=spec.get("EMBED_DIM", 512),
+            embed_dim=embed,
             vision=VisionSpec(
+                input_resolution=config.TRAIN.IMAGE_SIZE[0],
                 patch_size=vision.get("PATCH_SIZE", patch),
-                width=768,
+                width=vwidth,
                 layers=vision.get("LAYERS", 12),
-                heads=12,
-                output_dim=spec.get("EMBED_DIM", 512),
+                heads=max(1, vwidth // 64),
+                output_dim=embed,
             ),
             text=TextSpec(
                 context_length=text.get("CONTEXT_LENGTH", 77),
@@ -101,7 +110,7 @@ class CLIPSpec:
                 width=text.get("WIDTH", 512),
                 heads=text.get("HEADS", 8),
                 layers=text.get("LAYERS", 12),
-                output_dim=spec.get("EMBED_DIM", 512),
+                output_dim=embed,
             ),
         )
 

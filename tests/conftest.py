@@ -14,6 +14,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402  (after env setup)
 
+# The axon TPU plugin's sitecustomize overwrites jax_platforms at interpreter
+# start (env JAX_PLATFORMS is ignored); force CPU via the config API so tests
+# never touch the (single-client, tunnel-fragile) TPU.
+jax.config.update("jax_platforms", "cpu")
+
 # The CPU/TPU backends default to low-precision (bf16-ish) fp32 matmuls;
 # oracle tests need exact fp32 (the framework exposes the same switch via
 # TPU.PARITY_FP32 — see pevit_tpu/train/trainer.py).
