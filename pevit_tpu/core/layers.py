@@ -25,8 +25,25 @@ import jax
 import jax.numpy as jnp
 
 
+# When True, LayerNorm statistics compute in the activation dtype instead of
+# the reference's fp32 island (model.py:154-160).  Trace-time switch set by
+# the trainer from TPU.FAST_LN; bf16 LN stats are a standard TPU trade-off
+# and the parity mode (fp32 activations) is unaffected either way.
+_FAST_LN = False
+
+
+def set_fast_ln(enabled: bool) -> None:
+    global _FAST_LN
+    _FAST_LN = bool(enabled)
+
+
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
     """fp32-island LayerNorm (reference model.py:154-160)."""
+    if _FAST_LN:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + jnp.asarray(eps, x.dtype))
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
@@ -54,10 +71,15 @@ def linear(x: jax.Array, params: dict) -> jax.Array:
     return y
 
 
-def mlp(params: dict, x: jax.Array) -> jax.Array:
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """erf-based GELU (timm ViT default; used by the auxiliary backbones)."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mlp(params: dict, x: jax.Array, act: Callable = None) -> jax.Array:
     """CLIP block MLP: c_fc (C->4C) -> QuickGELU -> c_proj (4C->C)."""
     h = linear(x, params["c_fc"])
-    h = quick_gelu(h)
+    h = (act or quick_gelu)(h)
     return linear(h, params["c_proj"])
 
 
@@ -129,6 +151,7 @@ def residual_attention_block(
     qv_delta_fn: Optional[DeltaFn] = None,
     mlp_post_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     use_pallas: bool = False,
+    act: Optional[Callable] = None,
 ) -> jax.Array:
     """One CLIP transformer block (reference model.py:947-975).
 
@@ -143,7 +166,7 @@ def residual_attention_block(
         params["attn"], h, n_head=n_head, mask=mask, qv_delta_fn=qv_delta_fn,
         use_pallas=use_pallas,
     )
-    m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]))
+    m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]), act=act)
     if mlp_post_fn is not None:
         m = mlp_post_fn(m)
     return x + m

@@ -1,0 +1,242 @@
+"""Swin Transformer classifier + CLIP-with-Swin visual tower.
+
+Reference: models/cls_swin.py (full Swin classifier — windows, shifted
+attention with masking, relative position bias, patch merging) reachable via
+``get_cls_model`` (cls_swin.py:683-713), and models/clip_swin.py
+(``get_zeroshot_model``, clip_swin.py:274-284) which pairs a Swin visual
+tower with a CLIP text transformer.
+
+TPU-native layout: NHWC throughout; window partition/shift are reshapes +
+jnp.roll; the shifted-window attention mask is computed statically per stage
+with NumPy at build time (static shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.layers import gelu_exact, layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinSpec:
+    img_size: int = 224
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    num_classes: int = 0
+
+    @property
+    def num_stages(self) -> int:
+        return len(self.depths)
+
+    def stage_dim(self, i: int) -> int:
+        return self.embed_dim * (2 ** i)
+
+    def stage_res(self, i: int) -> int:
+        return self.img_size // self.patch_size // (2 ** i)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _trunc(key, shape, std=0.02):
+    return std * jax.random.truncated_normal(key, -2, 2, shape, jnp.float32)
+
+
+def _linear_init(key, d_in, d_out, bias=True):
+    p = {"kernel": _trunc(key, (d_in, d_out))}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _relative_index(window: int) -> np.ndarray:
+    """(win^2, win^2) indices into the (2w-1)^2 relative-position-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # (2, n, n)
+    rel = rel.transpose(1, 2, 0) + (window - 1)
+    return (rel[..., 0] * (2 * window - 1) + rel[..., 1]).astype(np.int32)
+
+
+def _attn_mask(res: int, window: int, shift: int) -> np.ndarray:
+    """Additive mask (nW, win^2, win^2) for shifted windows (cls_swin scheme)."""
+    if shift == 0:
+        n_w = (res // window) ** 2
+        return np.zeros((n_w, window * window, window * window), np.float32)
+    img = np.zeros((res, res), np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    img = np.roll(img, (-shift, -shift), axis=(0, 1))
+    wins = (
+        img.reshape(res // window, window, res // window, window)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, window * window)
+    )
+    diff = wins[:, None, :] - wins[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def init_swin_params(rng: jax.Array, spec: SwinSpec) -> dict:
+    keys = iter(jax.random.split(rng, 512))
+    p = spec.patch_size
+    params = {
+        "patch_embed": {
+            "kernel": _trunc(next(keys), (p * p * 3, spec.embed_dim)),
+            "bias": jnp.zeros((spec.embed_dim,), jnp.float32),
+        },
+        "patch_norm": {"scale": jnp.ones((spec.embed_dim,)), "bias": jnp.zeros((spec.embed_dim,))},
+        "stages": [],
+    }
+    w2 = (2 * spec.window_size - 1) ** 2
+    for s in range(spec.num_stages):
+        dim = spec.stage_dim(s)
+        blocks = []
+        for b in range(spec.depths[s]):
+            blocks.append(
+                {
+                    "norm1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+                    "qkv": _linear_init(next(keys), dim, 3 * dim),
+                    "proj": _linear_init(next(keys), dim, dim),
+                    "rel_bias": _trunc(next(keys), (w2, spec.num_heads[s])),
+                    "norm2": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
+                    "fc1": _linear_init(next(keys), dim, int(dim * spec.mlp_ratio)),
+                    "fc2": _linear_init(next(keys), int(dim * spec.mlp_ratio), dim),
+                }
+            )
+        stage = {"blocks": blocks}
+        if s < spec.num_stages - 1:
+            stage["downsample"] = {
+                "norm": {"scale": jnp.ones((4 * dim,)), "bias": jnp.zeros((4 * dim,))},
+                "reduction": _linear_init(next(keys), 4 * dim, 2 * dim, bias=False),
+            }
+        params["stages"].append(stage)
+    final = spec.stage_dim(spec.num_stages - 1)
+    params["norm"] = {"scale": jnp.ones((final,)), "bias": jnp.zeros((final,))}
+    if spec.num_classes:
+        params["head"] = _linear_init(next(keys), final, spec.num_classes)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: int, n_head: int, mask: jax.Array):
+    """x: (B, res, res, C) -> same, one shifted-window attention block."""
+    B, _, _, C = x.shape
+    hd = C // n_head
+    h = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"])
+    if shift:
+        h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+    nw = res // window
+    # partition into windows: (B*nW, win*win, C)
+    h = (
+        h.reshape(B, nw, window, nw, window, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B * nw * nw, window * window, C)
+    )
+    qkv = h @ bp["qkv"]["kernel"].astype(h.dtype) + bp["qkv"]["bias"].astype(h.dtype)
+    q, k, v = jnp.split(qkv.reshape(-1, window * window, 3, n_head, hd).transpose(2, 0, 3, 1, 4), 3, axis=0)
+    q, k, v = q[0], k[0], v[0]  # (B*nW, H, n, hd)
+    q = q * (hd ** -0.5)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    rel = bp["rel_bias"][_REL_INDEX_CACHE[window].reshape(-1)].reshape(
+        window * window, window * window, n_head
+    )
+    logits = logits + rel.transpose(2, 0, 1)[None]
+    logits = logits + jnp.tile(mask[None], (B, 1, 1, 1)).reshape(-1, 1, window * window, window * window)
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(-1, window * window, C)
+    out = out @ bp["proj"]["kernel"].astype(out.dtype) + bp["proj"]["bias"].astype(out.dtype)
+    out = (
+        out.reshape(B, nw, nw, window, window, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, res, res, C)
+    )
+    if shift:
+        out = jnp.roll(out, (shift, shift), axis=(1, 2))
+    return x + out
+
+
+_REL_INDEX_CACHE: dict = {}
+_MASK_CACHE: dict = {}
+
+
+def swin_forward_features(params: dict, x: jax.Array, *, spec: SwinSpec, compute_dtype=jnp.float32):
+    """(B, H, W, 3) -> (B, final_dim) pooled features."""
+    B = x.shape[0]
+    p = spec.patch_size
+    g = spec.img_size // p
+    x = x.astype(compute_dtype)
+    x = x.reshape(B, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, p * p * 3)
+    x = x @ params["patch_embed"]["kernel"].astype(compute_dtype) + params["patch_embed"]["bias"].astype(compute_dtype)
+    x = layer_norm(x, params["patch_norm"]["scale"], params["patch_norm"]["bias"])
+    x = x.reshape(B, g, g, spec.embed_dim)
+
+    win = spec.window_size
+    if win not in _REL_INDEX_CACHE:
+        _REL_INDEX_CACHE[win] = jnp.asarray(_relative_index(win))
+
+    for s, stage in enumerate(params["stages"]):
+        res = spec.stage_res(s)
+        for b, bp in enumerate(stage["blocks"]):
+            shift = 0 if b % 2 == 0 else win // 2
+            key = (res, win, shift)
+            if key not in _MASK_CACHE:
+                _MASK_CACHE[key] = jnp.asarray(_attn_mask(res, win, shift))
+            x = _window_attention(
+                bp, x, res=res, window=win, shift=shift, n_head=spec.num_heads[s], mask=_MASK_CACHE[key]
+            )
+            h = layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"])
+            h = gelu_exact(h @ bp["fc1"]["kernel"].astype(h.dtype) + bp["fc1"]["bias"].astype(h.dtype))
+            h = h @ bp["fc2"]["kernel"].astype(h.dtype) + bp["fc2"]["bias"].astype(h.dtype)
+            x = x + h
+        if "downsample" in stage:
+            # patch merging: 2x2 neighbourhood concat -> norm -> linear 4C->2C
+            Bc, H, W, C = x.shape
+            x = x.reshape(Bc, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 4, 2, 5)
+            # order (x0, x1, x2, x3) = (even/even, odd/even, even/odd, odd/odd)
+            x = x.reshape(Bc, H // 2, W // 2, 4 * C)[..., [0, 2, 1, 3]].reshape(Bc, H // 2, W // 2, 4 * C) \
+                if False else x.reshape(Bc, H // 2, W // 2, 4 * C)
+            x = layer_norm(x, stage["downsample"]["norm"]["scale"], stage["downsample"]["norm"]["bias"])
+            x = x @ stage["downsample"]["reduction"]["kernel"].astype(x.dtype)
+
+    x = x.reshape(B, -1, x.shape[-1])
+    x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+    return jnp.mean(x, axis=1)
+
+
+def swin_forward(params, x, *, spec: SwinSpec, compute_dtype=jnp.float32):
+    feats = swin_forward_features(params, x, spec=spec, compute_dtype=compute_dtype)
+    if "head" in params:
+        return feats @ params["head"]["kernel"].astype(feats.dtype) + params["head"]["bias"].astype(feats.dtype)
+    return feats
+
+
+def swin_tiny(num_classes: int = 0, img_size: int = 224) -> SwinSpec:
+    return SwinSpec(img_size=img_size, num_classes=num_classes)
+
+
+def swin_base(num_classes: int = 0, img_size: int = 224) -> SwinSpec:
+    return SwinSpec(
+        img_size=img_size,
+        embed_dim=128,
+        depths=(2, 2, 18, 2),
+        num_heads=(4, 8, 16, 32),
+        num_classes=num_classes,
+    )

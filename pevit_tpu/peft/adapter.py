@@ -47,11 +47,14 @@ def init_params(rng: jax.Array, n_layers: int, width: int) -> dict:
 
 def mlp_post(shared, layer: dict, rng: jax.Array, m: jax.Array, *, train: bool = False):
     del shared, rng, train
+    dt = m.dtype
     h = layer_norm(m, layer["norm_scale"], layer["norm_bias"])
-    h = h.astype(jnp.float32)
-    h = jax.nn.relu(h @ layer["down_kernel"] + layer["down_bias"])
-    up = h @ layer["up_kernel"] + layer["up_bias"]
-    return up.astype(m.dtype) + m
+    h = jax.nn.relu(
+        jnp.dot(h, layer["down_kernel"].astype(dt), preferred_element_type=jnp.float32)
+        + layer["down_bias"]
+    ).astype(dt)
+    up = jnp.dot(h, layer["up_kernel"].astype(dt), preferred_element_type=jnp.float32) + layer["up_bias"]
+    return up.astype(dt) + m
 
 
 def num_params(n_layers: int, width: int) -> int:

@@ -67,20 +67,26 @@ def init_params(rng: jax.Array, n_layers: int, width: int) -> dict:
 
 
 def phm_linear(x: jax.Array, w_left: jax.Array, w_right: jax.Array, rule: jax.Array, b: jax.Array):
-    """PHMLinear forward (compacter_model.py:302-308)."""
+    """PHMLinear forward (compacter_model.py:302-308).
+
+    H assembles in fp32 (tiny); the token GEMM runs in the activation dtype
+    with fp32 accumulation.
+    """
     w = bmm(w_left, w_right)
     h = batched_kron_sum(rule, w)
-    return x @ h + b
+    y = jnp.dot(x, h.astype(x.dtype), preferred_element_type=jnp.float32)
+    return y + b.astype(jnp.float32)
 
 
 def mlp_post(shared: dict, layer: dict, rng: jax.Array, m: jax.Array, *, train: bool = False):
     del rng, train
+    dt = m.dtype
     rule = shared["phm_rule"]
-    h = layer_norm(m, layer["norm_scale"], layer["norm_bias"]).astype(jnp.float32)
+    h = layer_norm(m, layer["norm_scale"], layer["norm_bias"])
     h = phm_linear(h, layer["down_w_left"], layer["down_w_right"], rule, layer["down_b"])
-    h = gelu_new(h)
+    h = gelu_new(h).astype(dt)
     h = phm_linear(h, layer["up_w_left"], layer["up_w_right"], rule, layer["up_b"])
-    return h.astype(m.dtype) + m
+    return h.astype(dt) + m
 
 
 def num_params(n_layers: int, width: int) -> int:

@@ -110,10 +110,11 @@ def attn_delta(
         h_q = h_q * jax.random.bernoulli(kq, keep, h_q.shape) / keep
         h_v = h_v * jax.random.bernoulli(kv, keep, h_v.shape) / keep
 
-    x32 = x.astype(jnp.float32)
-    b = layer["b"]
-    dq = x32 @ h_q * SCALE + b  # (B, N, C)
-    dv = x32 @ h_v * SCALE + b
+    # H builds in fp32 (tiny); the token-dimension GEMM runs in the activation
+    # dtype (bf16 on TPU) with fp32 accumulation — standard mixed precision.
+    b = layer["b"].astype(jnp.float32)
+    dq = jnp.dot(x, h_q.astype(x.dtype), preferred_element_type=jnp.float32) * SCALE + b
+    dv = jnp.dot(x, h_v.astype(x.dtype), preferred_element_type=jnp.float32) * SCALE + b
 
     if reference_compat:
         # quirk #4: reference computes in (N, B, C) and raw-reshapes to

@@ -53,9 +53,17 @@ def attn_delta(
     del shared, rng, train  # lora_r_dropout is None in the reference (:460)
     B, N, C = x.shape
     hd = C // n_head
-    x32 = x.astype(jnp.float32)
-    dq = (x32 @ layer["q_a"]) @ layer["q_b"] * SCALE
-    dv = (x32 @ layer["v_a"]) @ layer["v_b"] * SCALE
+    dt = x.dtype
+    dq = jnp.dot(
+        jnp.dot(x, layer["q_a"].astype(dt), preferred_element_type=jnp.float32).astype(dt),
+        layer["q_b"].astype(dt),
+        preferred_element_type=jnp.float32,
+    ) * SCALE
+    dv = jnp.dot(
+        jnp.dot(x, layer["v_a"].astype(dt), preferred_element_type=jnp.float32).astype(dt),
+        layer["v_b"].astype(dt),
+        preferred_element_type=jnp.float32,
+    ) * SCALE
     if reference_compat:
         dq = dq.transpose(1, 0, 2).reshape(B, n_head, N, hd)
         dv = dv.transpose(1, 0, 2).reshape(B, n_head, N, hd)

@@ -123,12 +123,41 @@ def rmsprop_update(grads, params, state: RmspropState, *, lr, wd, alpha=0.99, ep
     )
 
 
+# --- gradient clipping ------------------------------------------------------
+
+def clip_grad_norm(grads, max_norm):
+    """torch.nn.utils.clip_grad_norm_ semantics (full_model_finetune.py:327)."""
+    leaves = jax.tree.leaves(grads)
+    total = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (total + 1e-6))
+    return jax.tree.map(lambda g: g * scale.astype(g.dtype), grads)
+
+
 # --- dispatch --------------------------------------------------------------
 
-def make_optimizer(name: str, *, momentum=0.9, nesterov=False):
-    """Return (init_fn, update_fn(grads, params, state, lr, wd))."""
+def make_optimizer(name: str, *, momentum=0.9, nesterov=False, lr_scales=None):
+    """Return (init_fn, update_fn(grads, params, state, lr, wd)).
+
+    ``lr_scales``: optional pytree of per-leaf LR multipliers implementing
+    TRAIN.TWO_LR (reference optim/build.py:100-117 — backbone params train at
+    0.1x the head LR).
+    """
     name = name.lower()
     if name == "sgd":
+        if lr_scales is not None:
+            def upd(g, p, s, lr, wd):
+                def leaf(gl, pl, bl, sc):
+                    gl = gl + wd * pl
+                    b_new = momentum * bl + gl
+                    step = gl + momentum * b_new if nesterov else b_new
+                    return pl - lr * sc * step, b_new
+                flat = jax.tree.map(leaf, g, p, s.momentum_buf, lr_scales)
+                is_tup = lambda t: isinstance(t, tuple)
+                return (
+                    jax.tree.map(lambda t: t[0], flat, is_leaf=is_tup),
+                    SgdState(momentum_buf=jax.tree.map(lambda t: t[1], flat, is_leaf=is_tup)),
+                )
+            return sgd_init, upd
         return sgd_init, lambda g, p, s, lr, wd: sgd_update(
             g, p, s, lr=lr, wd=wd, momentum=momentum, nesterov=nesterov
         )

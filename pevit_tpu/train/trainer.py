@@ -71,6 +71,9 @@ class TaskStatic:
     nesterov: bool = False
     emulate_zero_shot: bool = False
     highest_precision: bool = False
+    clip_grad_norm: float = 0.0
+    two_lr: bool = False
+    fast_ln: bool = False
 
     @property
     def dtype(self):
@@ -96,6 +99,9 @@ class TaskStatic:
             nesterov=config.TRAIN.NESTEROV,
             emulate_zero_shot=config.TRAIN.EMULATE_ZERO_SHOT,
             highest_precision=config.TPU.PARITY_FP32,
+            clip_grad_norm=config.TRAIN.CLIP_GRAD_NORM,
+            two_lr=config.TRAIN.TWO_LR,
+            fast_ln=config.TPU.FAST_LN and not config.TPU.PARITY_FP32,
         )
 
 
@@ -181,18 +187,23 @@ def _loss(static: TaskStatic, logits, labels, mask):
 # Jitted epoch / eval builders
 # ---------------------------------------------------------------------------
 
-def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict):
+def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=None):
     """One full training epoch as a single XLA computation.
 
     Returns ``epoch(frozen, images, labels, state, lr, wd) -> state``
     where state = (trainable, opt_state, bn_state, rng).  ``preproc``
-    (CLIP mean/std) is baked in as a compile-time constant.
+    (CLIP mean/std) is baked in as a compile-time constant; ``lr_scales``
+    implements TRAIN.TWO_LR per-leaf LR multipliers.
     """
     B = static.batch_size
     steps = max(1, math.ceil(n_train / B))
     _, opt_update = make_optimizer(
-        static.optimizer, momentum=static.momentum, nesterov=static.nesterov
+        static.optimizer,
+        momentum=static.momentum,
+        nesterov=static.nesterov,
+        lr_scales=lr_scales,
     )
+    from .optim import clip_grad_norm as _clip
 
     def loss_fn(trainable, frozen, bn_state, imgs, labels, mask, rng):
         bundle = combine(trainable, frozen)
@@ -221,6 +232,8 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict):
                 (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     trainable, frozen, bn_state, imgs, labs, valid, step_rng
                 )
+                if static.clip_grad_norm > 0:  # full_model_finetune.py:327-328
+                    grads = _clip(grads, static.clip_grad_norm)
                 new_trainable, new_opt = opt_update(grads, trainable, opt_state, lr, wd)
                 return new_trainable, new_opt, new_bn
 
@@ -278,6 +291,9 @@ class TrainTask:
         self.metric_name = getattr(self.metric, "__name__", "accuracy")
         self._epoch_cache: dict = {}
         self._eval_cache: dict = {}
+        from ..core.layers import set_fast_ln
+
+        set_fast_ln(static.fast_ln)  # trace-time switch; see core/layers.py
         opt_init, _ = make_optimizer(
             static.optimizer, momentum=static.momentum, nesterov=static.nesterov
         )
@@ -325,10 +341,23 @@ class TrainTask:
 
     # -- jit caches ----------------------------------------------------------
 
+    def _lr_scales(self):
+        """TRAIN.TWO_LR per-leaf multipliers: backbone-module params (clip +
+        peft) at 0.1x, head at 1x (reference optim/build.py:100-117)."""
+        if not self.static.two_lr:
+            return None
+        trainable, _, _ = self.init_bundle(jax.random.PRNGKey(0))
+
+        def scale(kp, leaf):
+            top = kp[0].key if hasattr(kp[0], "key") else str(kp[0])
+            return 0.1 if str(top) in ("clip", "peft") else 1.0
+
+        return jax.tree_util.tree_map_with_path(scale, trainable)
+
     def _epoch_fn(self, n_train: int, n_trials: int):
         key = (n_train, n_trials)
         if key not in self._epoch_cache:
-            epoch = build_epoch_fn(self.static, n_train, self.preproc)
+            epoch = build_epoch_fn(self.static, n_train, self.preproc, self._lr_scales())
             batched = jax.vmap(epoch, in_axes=(None, None, None, 0, 0, 0))
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(3,))
         return self._epoch_cache[key]
