@@ -27,7 +27,7 @@ A6000_BASELINE_IMGS_PER_SEC = 800.0
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--n-train", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--method", type=str, default="kadaptation")
@@ -48,7 +48,7 @@ def main():
     from pevit_tpu.peft import PeftConfig
     from pevit_tpu.train import TaskStatic, TrainTask
     from pevit_tpu.train.optim import make_optimizer
-    from pevit_tpu.train.trainer import build_epoch_fn
+    from pevit_tpu.train.trainer import build_fit_fn
 
     cfg = get_default_config()
     cfg.DATASET.NUM_CLASSES = 100
@@ -68,19 +68,21 @@ def main():
     images = jnp.asarray(rng.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 100, (n,), dtype=np.int64).astype(np.int32))
 
-    epoch = jax.jit(build_epoch_fn(static, n, task.preproc), donate_argnums=(3,))
+    # the whole multi-epoch training is ONE dispatch (build_fit_fn)
+    fit = jax.jit(build_fit_fn(static, n, args.epochs, task.preproc), donate_argnums=(3,))
     opt_init, _ = make_optimizer("sgd")
     state = (trainable, opt_init(trainable), bn_state, jax.random.PRNGKey(2))
-    lr, wd = jnp.float32(0.01), jnp.float32(1e-4)
+    lr_table = jnp.full((args.epochs,), 0.01, jnp.float32)
+    wd = jnp.float32(1e-4)
 
     # warm-up / compile
-    state = epoch(frozen, images, labels, state, lr, wd)
-    jax.block_until_ready(jax.tree.leaves(state[0])[0])
+    state = fit(frozen, images, labels, state, lr_table, wd)
+    float(jax.tree.leaves(state[0])[0].ravel()[0])
 
     t0 = time.perf_counter()
-    for _ in range(args.epochs):
-        state = epoch(frozen, images, labels, state, lr, wd)
-    jax.block_until_ready(jax.tree.leaves(state[0])[0])
+    state = fit(frozen, images, labels, state, lr_table, wd)
+    # force a REAL sync on this relay backend: fetch a value to host
+    float(jax.tree.leaves(state[0])[0].ravel()[0])
     dt = time.perf_counter() - t0
 
     imgs_per_sec = args.epochs * n / dt

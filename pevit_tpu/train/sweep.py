@@ -162,7 +162,15 @@ def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2:
 
     import jax
 
-    model_info = task.model_info(jax.tree.map(lambda a: a[0], task._last_state[0]))
+    final_trainable = jax.tree.map(lambda a: a[0], task._last_state[0])
+    model_info = task.model_info(final_trainable)
+
+    # Checkpoint the tiny trainable state (the reference never saves training
+    # state — SURVEY.md §5.4; we add proper save/resume via Orbax)
+    if config.TPU.CHECKPOINT_DIR:
+        from ..ckpt import save_trainable
+
+        save_trainable(config.TPU.CHECKPOINT_DIR, final_trainable, step=end_epoch)
     model_info["best_logits"] = res["best_logits"]
     logging.info(
         "=> Learning rate %s, L2 lambda %s: Best score: Acc@1 %.3f",

@@ -248,6 +248,25 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
     return epoch
 
 
+def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict, lr_scales=None):
+    """``n_epochs`` of training as ONE XLA computation (one device dispatch).
+
+    On this TPU's high-latency link, per-epoch dispatch costs real time; the
+    fit function runs the whole (epochs x steps) grid in a single jit.  The
+    per-epoch LR comes from a precomputed ``lr_table`` argument (step-decay
+    schedule resolved on host), preserving reference semantics.
+    """
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales)
+
+    def fit(frozen, images, labels, state, lr_table, wd):
+        def body(e, state):
+            return epoch(frozen, images, labels, state, lr_table[e], wd)
+
+        return jax.lax.fori_loop(0, n_epochs, body, state)
+
+    return fit
+
+
 def build_eval_fn(static: TaskStatic, preproc: dict):
     """Chunked, jit-friendly eval forward: returns fp32 logits for a chunk."""
 

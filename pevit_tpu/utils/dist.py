@@ -69,6 +69,23 @@ def head() -> bool:  # reference Comm.head parity
     return is_main_process()
 
 
+def reduce_dict(input_dict: dict, average: bool = True) -> dict:
+    """Reduce scalar-dict values across processes (reference utils/comm.py:
+    111-137).  Single-process fast path returns the input."""
+    if world_size() == 1:
+        return dict(input_dict)
+    import jax
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    keys = sorted(input_dict)
+    vals = np.asarray([float(input_dict[k]) for k in keys])
+    summed = multihost_utils.process_allgather(vals).sum(axis=0)
+    if average:
+        summed = summed / world_size()
+    return dict(zip(keys, summed.tolist()))
+
+
 def all_gather_object(obj: Any) -> list:
     """Gather arbitrary picklable objects from every process.
 

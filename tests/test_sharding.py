@@ -1,0 +1,108 @@
+"""Multi-device sharding: sharded training step == single-device step.
+
+The TPU-native analogue of multi-node testing (SURVEY.md §4): an 8-device
+virtual CPU mesh with dp x tp sharding must produce numerically identical
+trainable updates to the unsharded computation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pevit_tpu.config import get_default_config
+from pevit_tpu.core import CLIPSpec, TextSpec, VisionSpec, init_clip_params
+from pevit_tpu.parallel import clip_param_specs, make_mesh, replicate, shard_batch, shard_params
+from pevit_tpu.peft import PeftConfig
+from pevit_tpu.train import TaskStatic, TrainTask
+from pevit_tpu.train.optim import make_optimizer
+from pevit_tpu.train.trainer import build_epoch_fn
+
+SPEC = CLIPSpec(
+    embed_dim=64,
+    vision=VisionSpec(input_resolution=32, patch_size=16, width=128, layers=2, heads=2, output_dim=64),
+    text=TextSpec(context_length=16, vocab_size=128, width=64, heads=1, layers=2, output_dim=64),
+)
+
+
+def _setup(method="kadaptation"):
+    cfg = get_default_config()
+    cfg.DATASET.NUM_CLASSES = 4
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 16
+    cfg.TEST.METRIC = "accuracy"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.REMAT = False
+    cfg.TPU.USE_PALLAS_ATTENTION = False
+    clip_params = init_clip_params(jax.random.PRNGKey(0), SPEC)
+    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method=method))
+    task = TrainTask(cfg, static, clip_params, eval_chunk=16)
+    return cfg, static, task
+
+
+def test_mesh_and_param_specs():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(n_data=4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    params = init_clip_params(jax.random.PRNGKey(0), SPEC)
+    specs = clip_param_specs(params)
+    from jax.sharding import PartitionSpec as P
+
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    spec_by_path = {"/".join(str(k) for k in kp): s for kp, s in flat}
+    in_proj = [s for p, s in spec_by_path.items() if "in_proj" in p and "kernel" in p]
+    assert all(s == P(None, None, "model") for s in in_proj)
+
+
+def test_sharded_step_matches_unsharded():
+    cfg, static, task = _setup()
+    trainable, frozen, bn = task.init_bundle(jax.random.PRNGKey(1))
+
+    n = 32
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 4, (n,), dtype=np.int64).astype(np.int32))
+
+    epoch = build_epoch_fn(static, n, task.preproc)
+    opt_init, _ = make_optimizer("sgd")
+
+    def run(frozen_in, images_in, labels_in, trainable_in, bn_in):
+        state = (trainable_in, opt_init(trainable_in), bn_in, jax.random.PRNGKey(2))
+        out = jax.jit(epoch)(frozen_in, images_in, labels_in, state, jnp.float32(0.01), jnp.float32(1e-4))
+        return jax.tree.map(np.asarray, out[0])
+
+    base = run(frozen, images, labels, trainable, bn)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    with mesh:
+        frozen_s = {
+            "clip": shard_params(frozen["clip"], mesh),
+            "peft": frozen["peft"],
+            "head": replicate(frozen["head"], mesh),
+        }
+        sharded = run(
+            frozen_s,
+            shard_batch(images, mesh),
+            shard_batch(labels, mesh),
+            replicate(trainable, mesh),
+            replicate(bn, mesh),
+        )
+
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(base), jax.tree_util.tree_leaves_with_path(sharded)
+    ):
+        np.testing.assert_allclose(a, b, rtol=5e-4, atol=1e-5, err_msg=str(pa))
+
+
+def test_vmapped_trials_on_mesh():
+    """Trial-parallel training under a data-sharded mesh still works."""
+    cfg, static, task = _setup("lora")
+    n = 32
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.integers(0, 255, (n, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.integers(0, 4, (n,), dtype=np.int64).astype(np.int32))
+    mesh = make_mesh(n_data=8, n_model=1)
+    with mesh:
+        res = task.train_trials(
+            [(0.01, 1e-4), (0.001, 1e-2)], images, labels, images, labels, end_epoch=2, seed=0
+        )
+    assert all(np.isfinite(r["best_score"]) for r in res)
