@@ -23,17 +23,29 @@ CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def resize_center_crop(img, size: int = 224) -> np.ndarray:
-    """torchvision Resize(size)+CenterCrop(size) semantics; returns uint8 HWC."""
+def resize_center_crop(img, size: int = 224, *, use_native: bool = True) -> np.ndarray:
+    """torchvision Resize(size)+CenterCrop(size) semantics; returns uint8 HWC.
+
+    Fast path: the C++ PIL-compatible resampler (pevit_tpu/native); PIL
+    fallback otherwise.
+    """
+    if use_native and isinstance(img, np.ndarray) and img.ndim == 3 and img.shape[2] == 3:
+        try:
+            from ..native import native_resize_center_crop
+
+            return native_resize_center_crop(img, size)
+        except Exception:
+            pass
     if isinstance(img, np.ndarray):
         img = Image.fromarray(img)
     img = img.convert("RGB")
     w, h = img.size
-    # torchvision Resize(int): scale the SHORTER side to `size`
+    # torchvision Resize(int): scale the SHORTER side to `size`; the long
+    # side TRUNCATES (torchvision functional.resize int() semantics)
     if w <= h:
-        new_w, new_h = size, max(size, int(round(h * size / w)))
+        new_w, new_h = size, max(size, int(h * size / w))
     else:
-        new_w, new_h = max(size, int(round(w * size / h))), size
+        new_w, new_h = max(size, int(w * size / h)), size
     img = img.resize((new_w, new_h), Image.BICUBIC)
     # center crop
     left = int(round((new_w - size) / 2.0))
