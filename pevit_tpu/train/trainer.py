@@ -280,6 +280,59 @@ def build_eval_fn(static: TaskStatic, preproc: dict):
     return eval_chunk
 
 
+def build_fit_eval_fn(
+    static: TaskStatic,
+    n_train: int,
+    n_epochs: int,
+    preproc: dict,
+    *,
+    eval_chunk: int,
+    n_val_chunks: int,
+    lr_scales=None,
+):
+    """Train ``n_epochs`` AND evaluate after every epoch, in ONE dispatch.
+
+    The reference validates after each epoch to keep the best epoch's logits
+    (kadaptation_clip.py:291-304).  Doing that loop host-side costs 2 device
+    round trips per epoch on this TPU's high-latency link; here the whole
+    (epoch -> eval) ladder runs in-graph and returns the stacked per-epoch
+    validation logits (n_epochs, n_val, C) for host-side metric selection —
+    one dispatch per (vmapped) trial batch for an entire training run.
+
+    ``val_images`` must arrive padded to ``n_val_chunks * eval_chunk``.
+    """
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales)
+
+    def fit_eval(frozen, images, labels, val_images, state, lr_table, wd):
+        def eval_all(trainable, bn_state):
+            def one_chunk(imgs):
+                bundle = combine(trainable, frozen)
+                logits, _ = model_forward(
+                    static, bundle, bn_state, imgs, preproc, train=False, rng=None, mask=None
+                )
+                return logits.astype(jnp.float32)
+
+            chunks = val_images.reshape(
+                n_val_chunks, eval_chunk, *val_images.shape[1:]
+            )
+            return jax.lax.map(one_chunk, chunks).reshape(
+                n_val_chunks * eval_chunk, static.num_classes
+            )
+
+        def body(state, lr_e):
+            if static.emulate_zero_shot:
+                new_state = state
+            else:
+                new_state = epoch(frozen, images, labels, state, lr_e, wd)
+            logits = eval_all(new_state[0], new_state[2])
+            return new_state, logits
+
+        state, logits_all = jax.lax.scan(body, state, lr_table)
+        return state, logits_all  # logits_all: (n_epochs, n_val_padded, C)
+
+    return fit_eval
+
+
 # ---------------------------------------------------------------------------
 # Host-side orchestration
 # ---------------------------------------------------------------------------
@@ -381,6 +434,22 @@ class TrainTask:
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(3,))
         return self._epoch_cache[key]
 
+    def _fit_eval_fn(self, n_train: int, n_epochs: int, n_val_chunks: int, n_trials: int):
+        key = (n_train, n_epochs, n_val_chunks, n_trials)
+        if key not in self._epoch_cache:
+            fe = build_fit_eval_fn(
+                self.static,
+                n_train,
+                n_epochs,
+                self.preproc,
+                eval_chunk=self.eval_chunk,
+                n_val_chunks=n_val_chunks,
+                lr_scales=self._lr_scales(),
+            )
+            batched = jax.vmap(fe, in_axes=(None, None, None, None, 0, 0, 0))
+            self._epoch_cache[key] = jax.jit(batched, donate_argnums=(4,))
+        return self._epoch_cache[key]
+
     def _eval_fn(self, n_trials: int):
         key = n_trials
         if key not in self._eval_cache:
@@ -472,41 +541,83 @@ class TrainTask:
         lrs = np.asarray([h[0] for h in hparams], np.float32)
         wds = np.asarray([h[1] for h in hparams], np.float32)
 
-        epoch_fn = self._epoch_fn(n_train, T)
-        state = (trainable_stack, opt_stack, bn_stack, rng_stack)
-
         results = [
             {"best_score": 0.0, "last_score": 0.0, "best_logits": None} for _ in range(T)
         ]
-        schedule = list(self.config.TRAIN.SCHEDULE or [])
+        state = (trainable_stack, opt_stack, bn_stack, rng_stack)
+        n_epochs = end_epoch - begin_epoch
+        if n_epochs <= 0:
+            self._last_state = state
+            self._last_frozen = frozen
+            return results
 
-        for epoch in range(begin_epoch, end_epoch):
-            t0 = time.time()
-            if not st.emulate_zero_shot:
-                lr_e = np.asarray(
-                    [step_decay_lr(float(lr), epoch, schedule) for lr in lrs], np.float32
-                )
-                state = epoch_fn(frozen, train_images, train_labels, state, jnp.asarray(lr_e), jnp.asarray(wds))
-            trainable_stack, opt_stack, bn_stack, rng_stack = state
-            scores, probs = self.evaluate(
-                frozen, trainable_stack, bn_stack, val_images, val_labels, T
+        # pad the val split to a whole number of eval chunks (masked on host)
+        n_val = int(val_labels.shape[0])
+        chunk = min(self.eval_chunk, max(8, n_val))
+        n_chunks = max(1, math.ceil(n_val / chunk))
+        pad = n_chunks * chunk - n_val
+        val_padded = (
+            jnp.concatenate(
+                [val_images, jnp.zeros((pad, *val_images.shape[1:]), val_images.dtype)]
             )
-            for t in range(T):
-                results[t]["last_score"] = scores[t]
-                if scores[t] > results[t]["best_score"] or (
-                    epoch == begin_epoch and results[t]["best_logits"] is None and keep_logits
+            if pad
+            else val_images
+        )
+
+        schedule = list(self.config.TRAIN.SCHEDULE or [])
+        lr_tables = jnp.asarray(
+            [
+                [step_decay_lr(float(lr), e, schedule) for e in range(begin_epoch, end_epoch)]
+                for lr in lrs
+            ],
+            jnp.float32,
+        )
+
+        # the ENTIRE (train -> per-epoch eval) ladder for all trials runs as
+        # one device dispatch; metric/selection happens on host afterwards
+        # with reference semantics (strict >, best-epoch logits)
+        saved_chunk = self.eval_chunk
+        self.eval_chunk = chunk
+        try:
+            fit_eval = self._fit_eval_fn(n_train, n_epochs, n_chunks, T)
+        finally:
+            self.eval_chunk = saved_chunk
+        t0 = time.time()
+        state, logits_all = fit_eval(
+            frozen, train_images, train_labels, val_padded, state, lr_tables, jnp.asarray(wds)
+        )
+        logits_np = np.asarray(logits_all)[:, :, :n_val]  # (T, E, n_val, C)
+        labels_np = np.asarray(val_labels)
+        run_s = time.time() - t0
+
+        for t in range(T):
+            for e in range(n_epochs):
+                z = logits_np[t, e] - logits_np[t, e].max(axis=-1, keepdims=True)
+                probs = np.exp(z)
+                probs /= probs.sum(axis=-1, keepdims=True)
+                try:
+                    score = 100.0 * self.metric(labels_np, probs)
+                    if not np.isfinite(score):
+                        score = 0.0
+                except Exception:  # NaN-prone mAP guard (kadaptation_clip.py:367-371)
+                    score = 0.0
+                results[t]["last_score"] = float(score)
+                if score > results[t]["best_score"] or (
+                    e == 0 and keep_logits and results[t]["best_logits"] is None
                 ):
                     if keep_logits:
-                        results[t]["best_logits"] = probs[t]
-                results[t]["best_score"] = max(results[t]["best_score"], scores[t])
-            if log_every and (epoch % log_every == 0 or epoch == end_epoch - 1):
-                logging.info(
-                    "[Epoch %d] Val %s: %s (%.2fs)",
-                    epoch,
-                    self.metric_name,
-                    " ".join(f"{s:.3f}" for s in scores),
-                    time.time() - t0,
-                )
+                        results[t]["best_logits"] = probs
+                results[t]["best_score"] = max(results[t]["best_score"], float(score))
+                if log_every and t == 0 and (e % log_every == 0 or e == n_epochs - 1):
+                    logging.info(
+                        "[Epoch %d] Val %s: %.3f", begin_epoch + e, self.metric_name, score
+                    )
+        if log_every:
+            logging.info(
+                "=> %d trials x %d epochs in %.2fs (device) | best: %s",
+                T, n_epochs, run_s,
+                " ".join(f"{r['best_score']:.3f}" for r in results),
+            )
 
         self._last_state = state
         self._last_frozen = frozen
