@@ -197,24 +197,65 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
 
     from ..core.clip import CLIPSpec
 
-    ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
-    clip_params, spec = load_clip(
-        config.MODEL.NAME,
-        checkpoint_path=ckpt,
-        seed=args.fix_seed,
-        spec_hint=CLIPSpec.from_config(config),
-    )
+    name = config.MODEL.NAME
+    is_clip = name.startswith(("ViT-B", "ViT-L", "RN"))
+    peft_cfg = PeftConfig(method=method)
+    if not is_clip and method not in ("linear_probe", "full_finetune"):
+        raise ValueError(
+            f"PEFT method {method!r} requires a CLIP backbone; MODEL.NAME={name!r} "
+            "is only supported for linear_probe/finetune (reference parity)"
+        )
+
+    if is_clip:
+        ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
+        clip_params, spec = load_clip(
+            name,
+            checkpoint_path=ckpt,
+            seed=args.fix_seed,
+            spec_hint=CLIPSpec.from_config(config),
+        )
+        backbone = None
+        feat_dim = 0
+        text_encode = lambda: extract_text_features(config, clip_params, spec)
+    else:
+        # auxiliary backbones (MAE / MoCo-v3 / deit / swin / declip family)
+        # via the get_model factory (feature.py:241-317)
+        if probe and name.startswith("mae_"):
+            # MAE linear probe disables global pooling (linear_probe.py:88-91)
+            config.defrost()
+            config.MODEL.SPEC.GLOBAL_POOL = False
+            config.freeze()
+        from ..models import get_model
+
+        backbone = get_model(config)
+        clip_params, spec = backbone.params, CLIPSpec.from_config(config)
+        feat_dim = backbone.feat_dim
+        text_encode = None
+        if backbone.encode_text is not None:
+            def text_encode():
+                from ..evaluation.text_features import build_prompts
+                from ..data.tokenizer import tokenize as _tok
+                import jax as _jax
+
+                texts, offsets = build_prompts(config)
+                toks = _tok(texts, config.MODEL.SPEC.TEXT.CONTEXT_LENGTH, truncate=True)
+                emb = np.asarray(_jax.jit(backbone.encode_text)(backbone.params, toks), np.float32)
+                emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12
+                cols = []
+                for s, e in offsets:
+                    m = emb[s:e].mean(0)
+                    cols.append(m / (np.linalg.norm(m) + 1e-12))
+                return np.stack(cols, axis=1)
 
     text_weights = None
-    if config.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER:
+    if config.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER and text_encode is not None:
         try:
-            text_weights = extract_text_features(config, clip_params, spec)
+            text_weights = text_encode()
         except ValueError as e:
             logging.warning("text head init unavailable (%s); using random head init", e)
 
-    peft_cfg = PeftConfig(method=method)
-    static = TaskStatic.from_config(config, spec, peft_cfg)
-    task = TrainTask(config, static, clip_params, text_init_weights=text_weights)
+    static = TaskStatic.from_config(config, spec, peft_cfg, feat_dim=feat_dim)
+    task = TrainTask(config, static, clip_params, text_init_weights=text_weights, backbone=backbone)
 
     logging.info("Running %s. This may take several minutes to hours depending on the data size.", method)
     best_acc, model_info = run_method(

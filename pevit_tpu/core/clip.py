@@ -276,10 +276,13 @@ def encode_image(
     compute_dtype: Any = jnp.float32,
     remat: bool = False,
     use_pallas: bool = False,
+    apply_proj: bool = True,
 ) -> jax.Array:
     """Visual tower forward (reference model.py:1034-1051).
 
-    ``x``: (B, H, W, 3) normalised float images.  Returns (B, embed_dim).
+    ``x``: (B, H, W, 3) normalised float images.  Returns (B, embed_dim), or
+    (B, width) when ``apply_proj`` is False (TRAIN.MERGE_ENCODER_AND_HEAD_PROJ
+    folds the projection into the classifier head — kadaptation_clip.py:146-158).
     """
     v = spec.vision
     vp = params["visual"]
@@ -310,6 +313,8 @@ def encode_image(
     )
 
     x = layer_norm(x[:, 0, :], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
+    if not apply_proj:
+        return x
     return x @ vp["proj"].astype(x.dtype)
 
 

@@ -74,13 +74,23 @@ class TaskStatic:
     clip_grad_norm: float = 0.0
     two_lr: bool = False
     fast_ln: bool = False
+    merge_encoder_head_proj: bool = False
+    feat_dim: int = 0  # 0 => spec.embed_dim (classifier-head input width)
 
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
+    @property
+    def head_dim(self) -> int:
+        if self.feat_dim:
+            return self.feat_dim
+        if self.merge_encoder_head_proj:
+            return self.spec.vision.width
+        return self.spec.embed_dim
+
     @staticmethod
-    def from_config(config, spec: CLIPSpec, peft_cfg: PeftConfig) -> "TaskStatic":
+    def from_config(config, spec: CLIPSpec, peft_cfg: PeftConfig, feat_dim: int = 0) -> "TaskStatic":
         return TaskStatic(
             spec=spec,
             peft_cfg=peft_cfg,
@@ -102,6 +112,8 @@ class TaskStatic:
             clip_grad_norm=config.TRAIN.CLIP_GRAD_NORM,
             two_lr=config.TRAIN.TWO_LR,
             fast_ln=config.TPU.FAST_LN and not config.TPU.PARITY_FP32,
+            merge_encoder_head_proj=config.TRAIN.MERGE_ENCODER_AND_HEAD_PROJ,
+            feat_dim=feat_dim,
         )
 
 
@@ -119,7 +131,13 @@ def trainable_pred(static: TaskStatic):
         if top == "peft":
             return method in PEFT_METHODS and peft_filter(path[1:])
         if top == "clip":
-            return method == "full_finetune" and len(path) > 1 and path[1] == "visual"
+            if method != "full_finetune":
+                return False
+            # CLIP: visual tower only (text + logit_scale stay frozen,
+            # kadaptation_clip.py:104-116); generic backbones train fully
+            if len(path) > 1 and path[1] in ("text", "logit_scale"):
+                return False
+            return True
         return False
 
     return pred
@@ -139,23 +157,32 @@ def model_forward(
     train: bool,
     rng: Optional[jax.Array],
     mask: Optional[jax.Array],
+    forward_fn=None,
 ):
-    """uint8 images -> logits.  Normalisation is fused on-device."""
+    """uint8 images -> logits.  Normalisation is fused on-device.
+
+    ``forward_fn(params, x_float, train) -> feats`` overrides the CLIP visual
+    tower (auxiliary backbones via models.factory; MERGE_ENCODER_AND_HEAD_PROJ).
+    """
     dt = static.dtype
     x = images_u8.astype(dt) / jnp.asarray(255.0, dt)
     x = (x - preproc["mean"].astype(dt)) / preproc["std"].astype(dt)
-    hooks = make_hooks(static.peft_cfg, static.spec, train=train)
-    feats = encode_image(
-        bundle["clip"],
-        x,
-        spec=static.spec,
-        peft=bundle.get("peft"),
-        hooks=hooks,
-        rng=rng,
-        compute_dtype=dt,
-        remat=static.remat and train,
-        use_pallas=static.use_pallas,
-    )
+    if forward_fn is not None:
+        feats = forward_fn(bundle["clip"], x, train)
+    else:
+        hooks = make_hooks(static.peft_cfg, static.spec, train=train)
+        feats = encode_image(
+            bundle["clip"],
+            x,
+            spec=static.spec,
+            peft=bundle.get("peft"),
+            hooks=hooks,
+            rng=rng,
+            compute_dtype=dt,
+            remat=static.remat and train,
+            use_pallas=static.use_pallas,
+            apply_proj=not static.merge_encoder_head_proj,
+        )
     logits, bn_state = head_forward(
         bundle["head"],
         bn_state,
@@ -187,7 +214,7 @@ def _loss(static: TaskStatic, logits, labels, mask):
 # Jitted epoch / eval builders
 # ---------------------------------------------------------------------------
 
-def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=None):
+def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=None, forward_fn=None):
     """One full training epoch as a single XLA computation.
 
     Returns ``epoch(frozen, images, labels, state, lr, wd) -> state``
@@ -208,7 +235,8 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
     def loss_fn(trainable, frozen, bn_state, imgs, labels, mask, rng):
         bundle = combine(trainable, frozen)
         logits, new_bn = model_forward(
-            static, bundle, bn_state, imgs, preproc, train=True, rng=rng, mask=mask
+            static, bundle, bn_state, imgs, preproc, train=True, rng=rng, mask=mask,
+            forward_fn=forward_fn,
         )
         return _loss(static, logits, labels, mask), new_bn
 
@@ -248,7 +276,7 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
     return epoch
 
 
-def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict, lr_scales=None):
+def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict, lr_scales=None, forward_fn=None):
     """``n_epochs`` of training as ONE XLA computation (one device dispatch).
 
     On this TPU's high-latency link, per-epoch dispatch costs real time; the
@@ -256,7 +284,7 @@ def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict,
     per-epoch LR comes from a precomputed ``lr_table`` argument (step-decay
     schedule resolved on host), preserving reference semantics.
     """
-    epoch = build_epoch_fn(static, n_train, preproc, lr_scales)
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn)
 
     def fit(frozen, images, labels, state, lr_table, wd):
         def body(e, state):
@@ -267,13 +295,14 @@ def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict,
     return fit
 
 
-def build_eval_fn(static: TaskStatic, preproc: dict):
+def build_eval_fn(static: TaskStatic, preproc: dict, forward_fn=None):
     """Chunked, jit-friendly eval forward: returns fp32 logits for a chunk."""
 
     def eval_chunk(frozen, trainable, bn_state, imgs):
         bundle = combine(trainable, frozen)
         logits, _ = model_forward(
-            static, bundle, bn_state, imgs, preproc, train=False, rng=None, mask=None
+            static, bundle, bn_state, imgs, preproc, train=False, rng=None, mask=None,
+            forward_fn=forward_fn,
         )
         return logits.astype(jnp.float32)
 
@@ -289,6 +318,7 @@ def build_fit_eval_fn(
     eval_chunk: int,
     n_val_chunks: int,
     lr_scales=None,
+    forward_fn=None,
 ):
     """Train ``n_epochs`` AND evaluate after every epoch, in ONE dispatch.
 
@@ -301,14 +331,15 @@ def build_fit_eval_fn(
 
     ``val_images`` must arrive padded to ``n_val_chunks * eval_chunk``.
     """
-    epoch = build_epoch_fn(static, n_train, preproc, lr_scales)
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn)
 
     def fit_eval(frozen, images, labels, val_images, state, lr_table, wd):
         def eval_all(trainable, bn_state):
             def one_chunk(imgs):
                 bundle = combine(trainable, frozen)
                 logits, _ = model_forward(
-                    static, bundle, bn_state, imgs, preproc, train=False, rng=None, mask=None
+                    static, bundle, bn_state, imgs, preproc, train=False, rng=None, mask=None,
+                    forward_fn=forward_fn,
                 )
                 return logits.astype(jnp.float32)
 
@@ -353,9 +384,16 @@ class TrainTask:
         *,
         text_init_weights: Optional[np.ndarray] = None,
         eval_chunk: int = 512,
+        backbone=None,
     ):
         self.config = config
         self.static = static
+        self.backbone = backbone  # models.factory.Backbone for non-CLIP towers
+        if backbone is not None:
+            clip_params = backbone.params
+            self._forward_fn = lambda p, x, train: backbone.forward_features(p, x)
+        else:
+            self._forward_fn = None
         self.clip_params = clip_params
         self.text_init_weights = text_init_weights
         self.eval_chunk = eval_chunk
@@ -380,30 +418,44 @@ class TrainTask:
         """Build (trainable, frozen, bn_state) for ONE trial."""
         k_peft, k_head = jax.random.split(rng)
         st = self.static
-        peft = init_peft(k_peft, st.peft_cfg, st.spec)
-        backbone_ls = float(self.clip_params.get("logit_scale", math.log(1 / 0.07)))
+        peft = init_peft(k_peft, st.peft_cfg, st.spec) if self.backbone is None else None
+        backbone_ls = float(self.clip_params.get("logit_scale", math.log(1 / 0.07))) \
+            if isinstance(self.clip_params, dict) and "logit_scale" in self.clip_params \
+            else math.log(1 / 0.07)
+
+        text_weights = self.text_init_weights
+        if text_weights is not None and st.merge_encoder_head_proj:
+            # fold the visual projection into the head kernel
+            # (kadaptation_clip.py:146-158): kernel(width,K) = proj @ zs(E,K)
+            proj = np.asarray(self.clip_params["visual"]["proj"], np.float32)
+            text_weights = proj @ np.asarray(text_weights, np.float32)
+
         head = init_head(
             k_head,
-            st.spec.embed_dim,
+            st.head_dim,
             st.num_classes,
-            text_init_weights=self.text_init_weights,
+            text_init_weights=text_weights,
             logit_scale_init=self.config.TRAIN.LOGIT_SCALE_INIT,
             backbone_logit_scale=backbone_ls,
         )
         bundle = {"clip": self.clip_params, "peft": peft, "head": head}
         trainable, frozen = partition(bundle, trainable_pred(st))
-        bn_state = init_bn_state(st.spec.embed_dim)
+        bn_state = init_bn_state(st.head_dim)
         return trainable, frozen, bn_state
 
     def model_info(self, trainable) -> dict:
         """Parameter statistics (kadaptation_clip.py:284-289 semantics)."""
         st = self.static
         clip_n = count_params(self.clip_params)
-        visual_n = count_params(self.clip_params["visual"])
+        visual_n = count_params(
+            self.clip_params.get("visual", self.clip_params)
+            if isinstance(self.clip_params, dict)
+            else self.clip_params
+        )
         from ..peft.base import peft_num_params
 
-        peft_n = peft_num_params(st.peft_cfg, st.spec)
-        head_n = st.spec.embed_dim * st.num_classes + st.num_classes
+        peft_n = peft_num_params(st.peft_cfg, st.spec) if self.backbone is None else 0
+        head_n = st.head_dim * st.num_classes + st.num_classes
         return {
             "n_trainable_params": count_params(trainable),
             "n_visual_params": visual_n + peft_n,
@@ -429,7 +481,7 @@ class TrainTask:
     def _epoch_fn(self, n_train: int, n_trials: int):
         key = (n_train, n_trials)
         if key not in self._epoch_cache:
-            epoch = build_epoch_fn(self.static, n_train, self.preproc, self._lr_scales())
+            epoch = build_epoch_fn(self.static, n_train, self.preproc, self._lr_scales(), self._forward_fn)
             batched = jax.vmap(epoch, in_axes=(None, None, None, 0, 0, 0))
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(3,))
         return self._epoch_cache[key]
@@ -445,6 +497,7 @@ class TrainTask:
                 eval_chunk=self.eval_chunk,
                 n_val_chunks=n_val_chunks,
                 lr_scales=self._lr_scales(),
+                forward_fn=self._forward_fn,
             )
             batched = jax.vmap(fe, in_axes=(None, None, None, None, 0, 0, 0))
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(4,))
@@ -453,7 +506,7 @@ class TrainTask:
     def _eval_fn(self, n_trials: int):
         key = n_trials
         if key not in self._eval_cache:
-            ev = build_eval_fn(self.static, self.preproc)
+            ev = build_eval_fn(self.static, self.preproc, self._forward_fn)
             batched = jax.vmap(ev, in_axes=(None, 0, 0, None))
             self._eval_cache[key] = jax.jit(batched)
         return self._eval_cache[key]
