@@ -141,7 +141,11 @@ def dump_artifacts(config, exp_name: str, best_acc: float, model_info: dict, *, 
 
 
 def load_device_data(config):
-    """Build splits and move them to device as uint8 + labels."""
+    """Build splits as uint8 + labels.
+
+    Splits small enough for HBM go straight to device; larger ones stay
+    host-resident as numpy (TrainTask streams them — train/streaming.py).
+    """
     import jax.numpy as jnp
 
     from ..data.registry import get_dataset_info
@@ -149,17 +153,20 @@ def load_device_data(config):
 
     info = get_dataset_info(config.DATASET.DATASET)
     train, val, test = build_splits(config)
+    max_bytes = float(config.TPU.MAX_DEVICE_DATA_GB) * 1e9
 
-    def to_dev(ds):
+    def prep(ds):
         labels = ds.labels
         if info.multilabel and labels.ndim == 1:
             onehot = np.zeros((len(labels), config.DATASET.NUM_CLASSES), np.float32)
             onehot[np.arange(len(labels)), labels.astype(int)] = 1
             labels = onehot
-        lab = jnp.asarray(labels.astype(np.float32 if labels.ndim == 2 else np.int32))
-        return jnp.asarray(ds.images), lab
+        labels = labels.astype(np.float32 if labels.ndim == 2 else np.int32)
+        if ds.images.nbytes > max_bytes:
+            return ds.images, labels  # host-resident; streaming path
+        return jnp.asarray(ds.images), jnp.asarray(labels)
 
-    return to_dev(train) + to_dev(val) + to_dev(test)
+    return prep(train) + prep(val) + prep(test)
 
 
 def run_training_command(method: str, *, description: str, probe: bool = False, argv=None):

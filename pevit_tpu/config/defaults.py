@@ -213,6 +213,7 @@ _C.TPU.REMAT = False                # rematerialize transformer blocks (ViT-B fi
 _C.TPU.FAST_LN = False              # LayerNorm stats in activation dtype (speed; off = reference fp32 islands)
 _C.TPU.USE_PALLAS_ATTENTION = True  # fused attention kernel on TPU backends
 _C.TPU.PRELOAD_DEVICE_BATCHES = True
+_C.TPU.MAX_DEVICE_DATA_GB = 4.0     # train splits above this stream from host RAM
 _C.TPU.CHECKPOINT_DIR = ""          # orbax save/resume dir ('' = disabled)
 
 _C.seal()

@@ -139,10 +139,17 @@ def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2:
     end_epoch = config.TRAIN.END_EPOCH + config.TRAIN.EXTRA_FINAL_TRAIN_EPOCH
 
     if config.DATASET.MERGE_TRAIN_VAL_FINAL_RUN:
-        import jax.numpy as jnp
+        import numpy as _np
 
-        final_x = jnp.concatenate([train_x, val_x], axis=0)
-        final_y = jnp.concatenate([train_y, val_y], axis=0)
+        if isinstance(train_x, _np.ndarray) or isinstance(val_x, _np.ndarray):
+            # host-resident (streaming) data stays on host after the merge
+            final_x = _np.concatenate([_np.asarray(train_x), _np.asarray(val_x)], axis=0)
+            final_y = _np.concatenate([_np.asarray(train_y), _np.asarray(val_y)], axis=0)
+        else:
+            import jax.numpy as jnp
+
+            final_x = jnp.concatenate([train_x, val_x], axis=0)
+            final_y = jnp.concatenate([train_y, val_y], axis=0)
         logging.info("Using the full trainval set to train final model. len=%d", final_y.shape[0])
     else:
         final_x, final_y = train_x, train_y

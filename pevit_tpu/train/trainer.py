@@ -546,6 +546,52 @@ class TrainTask:
             probs_all.append(probs)
         return scores, probs_all
 
+    def _train_trials_streaming(
+        self, hparams, train_images, train_labels, val_images, val_labels, *,
+        state, frozen, begin_epoch, end_epoch, seed, keep_logits, log_every, results,
+    ):
+        """Host-streaming fallback for HBM-exceeding train splits."""
+        from .streaming import StreamingEpochRunner
+
+        T = len(hparams)
+        lrs = [h[0] for h in hparams]
+        wds = jnp.asarray([h[1] for h in hparams], jnp.float32)
+        schedule = list(self.config.TRAIN.SCHEDULE or [])
+        runner = StreamingEpochRunner(self, T)
+        if isinstance(val_images, np.ndarray):
+            val_images = jnp.asarray(val_images)
+        logging.info(
+            "streaming path: %d train images (%.1f GB) stay host-resident",
+            len(train_labels), train_images.nbytes / 1e9,
+        )
+        for epoch in range(begin_epoch, end_epoch):
+            if not self.static.emulate_zero_shot:
+                lr_e = jnp.asarray(
+                    [step_decay_lr(float(lr), epoch, schedule) for lr in lrs], jnp.float32
+                )
+                state = runner.run_epoch(
+                    frozen, state, train_images, train_labels, lr_e, wds, seed=seed * 1000 + epoch
+                )
+            scores, probs = self.evaluate(
+                frozen, state[0], state[2], val_images, val_labels, T
+            )
+            for t in range(T):
+                results[t]["last_score"] = scores[t]
+                if scores[t] > results[t]["best_score"] or (
+                    epoch == begin_epoch and keep_logits and results[t]["best_logits"] is None
+                ):
+                    if keep_logits:
+                        results[t]["best_logits"] = probs[t]
+                results[t]["best_score"] = max(results[t]["best_score"], scores[t])
+            if log_every and (epoch % log_every == 0 or epoch == end_epoch - 1):
+                logging.info(
+                    "[Epoch %d] Val %s: %s (streaming)", epoch, self.metric_name,
+                    " ".join(f"{s:.3f}" for s in scores),
+                )
+        self._last_state = state
+        self._last_frozen = frozen
+        return results
+
     # -- (batched) training ----------------------------------------------------
 
     def train_trials(
@@ -603,6 +649,22 @@ class TrainTask:
             self._last_state = state
             self._last_frozen = frozen
             return results
+
+        # datasets too big for HBM stream from host RAM (full-shot
+        # patch-camelyon etc.); see train/streaming.py
+        max_bytes = float(self.config.TPU.get("MAX_DEVICE_DATA_GB", 4.0)) * 1e9
+        if isinstance(train_images, np.ndarray) and train_images.nbytes > max_bytes:
+            return self._train_trials_streaming(
+                hparams, train_images, train_labels, val_images, val_labels,
+                state=state, frozen=frozen, begin_epoch=begin_epoch,
+                end_epoch=end_epoch, seed=seed, keep_logits=keep_logits,
+                log_every=log_every, results=results,
+            )
+        if isinstance(train_images, np.ndarray):
+            train_images = jnp.asarray(train_images)
+            train_labels = jnp.asarray(train_labels)
+        if isinstance(val_images, np.ndarray):
+            val_images = jnp.asarray(val_images)
 
         # pad the val split to a whole number of eval chunks (masked on host)
         n_val = int(val_labels.shape[0])
