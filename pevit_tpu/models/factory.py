@@ -87,10 +87,17 @@ def get_model(config, feature_type: str = "image") -> Backbone:
 
     # --- Swin classifiers (models/cls_swin.py:683-713) ----------------------
     if name.startswith(("cls_swin", "swin")):
-        spec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
-        params = _swin.init_swin_params(rng, spec)
         if ckpt_file:
-            logging.warning("Swin checkpoint loading not yet wired; using random init")
+            from ..ckpt.torch_loader import read_torch_state_dict
+
+            raw = read_torch_state_dict(ckpt_file)
+            if "model" in raw and isinstance(raw["model"], dict):
+                raw = raw["model"]
+            params, spec = _swin.swin_state_dict_to_params(raw)
+        else:
+            spec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
+            params = _swin.init_swin_params(rng, spec)
+            logging.warning("=> %s: RANDOM init (no TEST.MODEL_FILE)", name)
         return Backbone(
             name=name,
             params=params,

@@ -207,12 +207,13 @@ def swin_forward_features(params: dict, x: jax.Array, *, spec: SwinSpec, compute
             h = h @ bp["fc2"]["kernel"].astype(h.dtype) + bp["fc2"]["bias"].astype(h.dtype)
             x = x + h
         if "downsample" in stage:
-            # patch merging: 2x2 neighbourhood concat -> norm -> linear 4C->2C
+            # patch merging: 2x2 neighbourhood concat -> norm -> linear 4C->2C.
+            # channel order matches official Swin's [x0,x1,x2,x3] =
+            # [r-even/c-even, r-odd/c-even, r-even/c-odd, r-odd/c-odd]:
+            # transpose puts (c2, r2) outer-to-inner => c0r0,c0r1,c1r0,c1r1.
             Bc, H, W, C = x.shape
             x = x.reshape(Bc, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 4, 2, 5)
-            # order (x0, x1, x2, x3) = (even/even, odd/even, even/odd, odd/odd)
-            x = x.reshape(Bc, H // 2, W // 2, 4 * C)[..., [0, 2, 1, 3]].reshape(Bc, H // 2, W // 2, 4 * C) \
-                if False else x.reshape(Bc, H // 2, W // 2, 4 * C)
+            x = x.reshape(Bc, H // 2, W // 2, 4 * C)
             x = layer_norm(x, stage["downsample"]["norm"]["scale"], stage["downsample"]["norm"]["bias"])
             x = x @ stage["downsample"]["reduction"]["kernel"].astype(x.dtype)
 
@@ -226,6 +227,76 @@ def swin_forward(params, x, *, spec: SwinSpec, compute_dtype=jnp.float32):
     if "head" in params:
         return feats @ params["head"]["kernel"].astype(feats.dtype) + params["head"]["bias"].astype(feats.dtype)
     return feats
+
+
+def swin_state_dict_to_params(sd: dict) -> tuple:
+    """Official Swin checkpoint (microsoft/Swin-Transformer key layout) ->
+    (params, spec).  Covers cls_swin's loading surface (cls_swin.py:683-713)."""
+    import numpy as np
+
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items() if hasattr(v, "shape")}
+    conv = sd["patch_embed.proj.weight"]  # (C, 3, p, p)
+    embed_dim, _, p, _ = conv.shape
+    n_stages = len({k.split(".")[1] for k in sd if k.startswith("layers.")})
+    depths, heads = [], []
+    for s in range(n_stages):
+        blocks = {int(k.split(".")[3]) for k in sd if k.startswith(f"layers.{s}.blocks.")}
+        depths.append(len(blocks))
+        heads.append(sd[f"layers.{s}.blocks.0.attn.relative_position_bias_table"].shape[1])
+    table = sd["layers.0.blocks.0.attn.relative_position_bias_table"]
+    window = (int(round(table.shape[0] ** 0.5)) + 1) // 2
+    spec = SwinSpec(
+        patch_size=p,
+        embed_dim=embed_dim,
+        depths=tuple(depths),
+        num_heads=tuple(heads),
+        window_size=window,
+        num_classes=sd["head.weight"].shape[0] if "head.weight" in sd else 0,
+    )
+
+    def lin(prefix, bias=True):
+        out = {"kernel": jnp.asarray(sd[f"{prefix}.weight"].T)}
+        if bias and f"{prefix}.bias" in sd:
+            out["bias"] = jnp.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    def ln(prefix):
+        return {"scale": jnp.asarray(sd[f"{prefix}.weight"]), "bias": jnp.asarray(sd[f"{prefix}.bias"])}
+
+    params = {
+        "patch_embed": {
+            "kernel": jnp.asarray(conv.transpose(2, 3, 1, 0).reshape(p * p * 3, embed_dim)),
+            "bias": jnp.asarray(sd["patch_embed.proj.bias"]),
+        },
+        "patch_norm": ln("patch_embed.norm"),
+        "stages": [],
+        "norm": ln("norm"),
+    }
+    for s in range(n_stages):
+        blocks = []
+        for b in range(depths[s]):
+            pre = f"layers.{s}.blocks.{b}"
+            blocks.append(
+                {
+                    "norm1": ln(f"{pre}.norm1"),
+                    "qkv": lin(f"{pre}.attn.qkv"),
+                    "proj": lin(f"{pre}.attn.proj"),
+                    "rel_bias": jnp.asarray(sd[f"{pre}.attn.relative_position_bias_table"]),
+                    "norm2": ln(f"{pre}.norm2"),
+                    "fc1": lin(f"{pre}.mlp.fc1"),
+                    "fc2": lin(f"{pre}.mlp.fc2"),
+                }
+            )
+        stage = {"blocks": blocks}
+        if f"layers.{s}.downsample.reduction.weight" in sd:
+            stage["downsample"] = {
+                "norm": ln(f"layers.{s}.downsample.norm"),
+                "reduction": lin(f"layers.{s}.downsample.reduction", bias=False),
+            }
+        params["stages"].append(stage)
+    if "head.weight" in sd:
+        params["head"] = lin("head")
+    return params, spec
 
 
 def swin_tiny(num_classes: int = 0, img_size: int = 224) -> SwinSpec:
