@@ -22,7 +22,7 @@ import argparse
 import json
 import time
 
-A6000_BASELINE_IMGS_PER_SEC = 800.0
+A6000_BASELINE_IMGS_PER_SEC = {"b32": 800.0, "b16": 200.0}  # b16 ~ 4x FLOPs of b32
 
 
 def main():
@@ -31,9 +31,12 @@ def main():
     ap.add_argument("--n-train", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--method", type=str, default="kadaptation")
+    ap.add_argument("--model", type=str, default="b32", choices=["b32", "b16"])
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--dtype", type=str, default="bfloat16")
     args = ap.parse_args()
+    if args.model == "b16" and args.batch > 64:
+        args.batch = 32  # best measured operating point for ViT-B/16
 
     import jax
 
@@ -57,7 +60,7 @@ def main():
     cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
 
-    spec = CLIPSpec.vit_b32()
+    spec = CLIPSpec.vit_b16() if args.model == "b16" else CLIPSpec.vit_b32()
     clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
     static = TaskStatic.from_config(cfg, spec, PeftConfig(method=args.method))
     task = TrainTask(cfg, static, clip_params)
@@ -86,13 +89,14 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = args.epochs * n / dt
+    model_name = "ViT-B/16" if args.model == "b16" else "ViT-B/32"
     print(
         json.dumps(
             {
-                "metric": f"{args.method} ViT-B/32 train throughput (batch {args.batch}, {args.dtype})",
+                "metric": f"{args.method} {model_name} train throughput (batch {args.batch}, {args.dtype})",
                 "value": round(imgs_per_sec, 1),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / A6000_BASELINE_IMGS_PER_SEC, 3),
+                "vs_baseline": round(imgs_per_sec / A6000_BASELINE_IMGS_PER_SEC[args.model], 3),
             }
         )
     )

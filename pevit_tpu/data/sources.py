@@ -145,11 +145,19 @@ def _load_manifest(root: Path, split: str, image_size: int, num_classes: int) ->
 
 
 def _synthetic(name: str, split: str, image_size: int, num_classes: int) -> ArrayDataset:
-    """Deterministic class-separable synthetic data (tests/benchmarks)."""
-    seed = abs(hash((name, split))) % (2**31)
-    rng = np.random.default_rng(seed)
+    """Deterministic class-separable synthetic data (tests/benchmarks).
+
+    Class prototypes are seeded from the dataset NAME only so train/val/test
+    share the same class->colour mapping (a model trained on the train split
+    must generalise to the test split); per-split noise differs.
+    """
+    import zlib
+
+    name_seed = zlib.crc32(name.encode()) % (2**31)
+    split_seed = zlib.crc32(f"{name}/{split}".encode()) % (2**31)
+    base = np.random.default_rng(name_seed).integers(30, 225, (max(num_classes, 1), 3))
+    rng = np.random.default_rng(split_seed)
     n = {"train": 32 * max(2, num_classes), "val": 8 * max(2, num_classes), "test": 16 * max(2, num_classes)}[split]
-    base = rng.integers(30, 225, (max(num_classes, 1), 3))
     ys = rng.integers(0, max(num_classes, 1), n)
     imgs = base[ys][:, None, None, :] + rng.normal(0, 30, (n, image_size, image_size, 3))
     return ArrayDataset(np.clip(imgs, 0, 255).astype(np.uint8), ys.astype(np.int64))

