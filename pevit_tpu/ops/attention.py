@@ -37,8 +37,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pallas_forward(q, k, v, *, interpret: bool = False):
-    """q, k, v: (B, H, N, hd). Returns (B, H, N, hd)."""
+def _pallas_forward(q, k, v, *, interpret: bool = False, pairs_per_program: int = 8):
+    """q, k, v: (B, H, N, hd). Returns (B, H, N, hd).
+
+    Each program handles ``pairs_per_program`` (batch, head) pairs as the
+    leading batch dim of batched MXU GEMMs — amortises program launch + DMA
+    setup over 8x more work than a per-head grid.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -46,55 +51,55 @@ def _pallas_forward(q, k, v, *, interpret: bool = False):
     n_sub = _round_up(N, 8)       # query rows: sublane multiple
     n_lane = _round_up(N, 128)    # key columns: lane multiple
     hd_lane = _round_up(hd, 128)
+    G = pairs_per_program
+    bh = B * H
+    bh_pad = _round_up(bh, G)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, n_sub - N), (0, hd_lane - hd)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, n_lane - N), (0, hd_lane - hd)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, n_lane - N), (0, hd_lane - hd)))
-    g = B * H
-    qp = qp.reshape(g, n_sub, hd_lane)
-    kp = kp.reshape(g, n_lane, hd_lane)
-    vp = vp.reshape(g, n_lane, hd_lane)
+    def prep(t, n_rows):
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, n_rows - N), (0, hd_lane - hd)))
+        t = t.reshape(bh, n_rows, hd_lane)
+        if bh_pad != bh:
+            t = jnp.pad(t, ((0, bh_pad - bh), (0, 0), (0, 0)))
+        return t
+
+    qp, kp, vp = prep(q, n_sub), prep(k, n_lane), prep(v, n_lane)
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
-        qb = q_ref[0]
-        kb = k_ref[0]
-        vb = v_ref[0]
         s = jax.lax.dot_general(
-            qb, kb,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            q_ref[...], k_ref[...],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (n_sub, n_lane)
-        # mask padded key columns
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        )  # (G, n_sub, n_lane)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < N, s, -jnp.inf)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p.astype(vb.dtype), vb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[...],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        o_ref[0] = o.astype(o_ref.dtype)
+        o_ref[...] = o.astype(o_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(bh_pad // G,),
         in_specs=[
-            pl.BlockSpec((1, n_sub, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_lane, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_lane, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, n_sub, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, n_lane, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, n_lane, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_sub, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, n_sub, hd_lane), q.dtype),
+        out_specs=pl.BlockSpec((G, n_sub, hd_lane), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh_pad, n_sub, hd_lane), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * g * (n_sub * n_lane * hd_lane) * 2,
+            flops=2 * bh_pad * (n_sub * n_lane * hd_lane) * 2,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=g * n_sub * n_lane,
+            transcendentals=bh_pad * n_sub * n_lane,
         ),
     )(qp, kp, vp)
-    return out.reshape(B, H, n_sub, hd_lane)[:, :, :N, :hd]
+    return out[:bh].reshape(B, H, n_sub, hd_lane)[:, :, :N, :hd]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -51,6 +51,12 @@ def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max
                 v = r["last_score"] if use_last else r["best_score"]
                 scores.append(0.0 if not np.isfinite(v) else float(v))
         except Exception as e:  # noqa: BLE001 — parity with reference failure handling
+            # reference scores failed trials 0.0 (kadaptation_clip.py:200-205);
+            # device/runtime errors are NOT silently absorbed — they would
+            # zero every stage and quietly corrupt selection
+            if type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError"):
+                logging.error("DEVICE error in sweep stage (%s: %s) — aborting sweep", type(e).__name__, e)
+                raise
             logging.warning("sweep stage chunk failed (%s); scoring 0", e)
             scores.extend([0.0] * len(chunk))
     return scores

@@ -1,0 +1,57 @@
+"""Dataset hub facade, DeCLIP normalizer, prediction-submission validation."""
+
+import numpy as np
+import pytest
+
+from pevit_tpu.commands.prediction_submission import (
+    PredictionSubmission,
+    validate_submission_dict,
+)
+from pevit_tpu.data.hub import DatasetHub, get_dataset_hub
+from pevit_tpu.models.declip import normalize_declip_state_dict
+
+
+def test_hub_lists_elevater_datasets():
+    hub = get_dataset_hub()
+    names = {d["name"] for d in hub.list_data_version_and_types()}
+    assert "cifar-10" in names and len(names) == 20
+
+
+def test_hub_resolves_local_split(tmp_path):
+    np.savez(tmp_path / "test.npz", images=np.zeros((4, 8, 8, 3), np.uint8), labels=np.arange(4))
+    hub = DatasetHub(str(tmp_path))
+    ds, info, _ = hub.create_dataset_manifest("https://example", str(tmp_path), "cifar-10", "test_purpose")
+    assert len(ds) == 4 and info["name"] == "cifar-10"
+
+
+def test_hub_missing_split_returns_none(tmp_path):
+    hub = DatasetHub(str(tmp_path))
+    assert hub.create_dataset_manifest("https://example", str(tmp_path), "cifar-10", "train_purpose") is None
+
+
+def test_declip_normalizer():
+    sd = {"state_dict": {"module.visual.blocks.0.w": 1, "module.logit_scale": 2}}
+    out = normalize_declip_state_dict(sd)
+    assert out == {"visual.blocks.0.w": 1, "logit_scale": 2}
+
+
+def test_submission_validation():
+    good = {
+        "model_name": "ViT-B/32",
+        "dataset_name": "cifar-10",
+        "n_shot": 5,
+        "rnd_seeds": [0, 1],
+        "predictions": [np.full((4, 2), 0.5).tolist(), np.full((4, 2), 0.5).tolist()],
+    }
+    sub = validate_submission_dict(good)
+    assert isinstance(sub, PredictionSubmission)
+
+    bad = dict(good, predictions=[np.full((4, 2), 0.9).tolist()] * 2)
+    with pytest.raises(ValueError, match="simplex"):
+        validate_submission_dict(bad)
+
+    with pytest.raises(ValueError, match="align"):
+        validate_submission_dict(dict(good, rnd_seeds=[0]))
+
+    with pytest.raises(ValueError, match="track"):
+        validate_submission_dict(dict(good, track="nope"))
