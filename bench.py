@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--n-train", type=int, default=1024)
-    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=8)  # ~3s of device time: averages out relay jitter
     ap.add_argument("--method", type=str, default="kadaptation")
     ap.add_argument("--model", type=str, default="b32", choices=["b32", "b16"])
     ap.add_argument("--no-pallas", action="store_true")
