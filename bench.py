@@ -26,6 +26,18 @@ A6000_BASELINE_IMGS_PER_SEC = {"b32": 800.0, "b16": 200.0}  # b16 ~ 4x FLOPs of 
 
 
 def main():
+    try:
+        _main()
+    except Exception as e:  # the relay TPU occasionally wedges; one retry
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(f"bench attempt failed ({type(e).__name__}); retrying once...", file=sys.stderr)
+        time.sleep(30)
+        _main()
+
+
+def _main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--n-train", type=int, default=1024)
