@@ -12,9 +12,8 @@ import os
 
 import numpy as np
 
-from ..config import get_default_config, update_config
 from ..utils import create_logger, dist as comm, log_config
-from ._common import dump_artifacts, json_prec_dump, setup_config
+from ._common import dump_artifacts, setup_config
 
 
 def add_zeroshot_args(parser):

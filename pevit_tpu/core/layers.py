@@ -18,7 +18,6 @@ Numerical quirks of the reference that are intentionally preserved:
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Callable, Optional
 
 import jax

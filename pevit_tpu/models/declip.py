@@ -22,8 +22,6 @@ Structure (declip_model/clip.py + vitb32 variants):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ with NumPy at build time (static shapes, no data-dependent control flow).
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Sequence
 
 import jax

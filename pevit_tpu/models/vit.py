@@ -17,8 +17,6 @@ blocks under lax.scan like the core CLIP tower.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

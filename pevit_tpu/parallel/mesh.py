@@ -17,8 +17,6 @@ XLA/GSPMD inserts the all-reduces; the LR x world-size rule
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

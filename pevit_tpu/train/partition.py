@@ -9,7 +9,7 @@ for the frozen 88M-param backbone — only activation gradients flow through it.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import numpy as np

@@ -15,8 +15,6 @@ streaming when the train split exceeds ``TPU.MAX_DEVICE_DATA_GB``.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

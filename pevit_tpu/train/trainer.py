@@ -29,8 +29,7 @@ import dataclasses
 import logging
 import math
 import time
-from functools import partial
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
