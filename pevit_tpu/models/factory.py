@@ -107,11 +107,13 @@ def get_model(config, feature_type: str = "image") -> Backbone:
 
     # --- CLIP with Swin visual tower (models/clip_swin.py:274-284) ----------
     if name.startswith("clip_swin"):
-        from ..core.clip import CLIPSpec, TextSpec, encode_text as core_encode_text, init_clip_params
+        from ..core.clip import CLIPSpec, encode_text as core_encode_text, init_clip_params
 
         sspec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
         embed = config.MODEL.SPEC.get("EMBED_DIM", 512)
-        cspec = CLIPSpec(embed_dim=embed)
+        # text tower dims come from MODEL.SPEC.TEXT (clip_swin.py builds the
+        # text transformer from the config dict)
+        cspec = CLIPSpec.from_config(config)
         core = init_clip_params(rng, cspec)
         k = jax.random.split(rng)[0]
         params = {
