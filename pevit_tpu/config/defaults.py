@@ -211,7 +211,7 @@ _C.TPU.MESH_MODEL = 1               # tensor-parallel axis size
 _C.TPU.SWEEP_PARALLEL_TRIALS = 4    # max trials vmapped together (larger fused programs can exceed this env's remote-compiler limits)
 _C.TPU.REMAT = False                # rematerialize transformer blocks (ViT-B fits without; enable for larger models/batches)
 _C.TPU.FAST_LN = False              # LayerNorm stats in activation dtype (speed; off = reference fp32 islands)
-_C.TPU.USE_PALLAS_ATTENTION = True  # fused attention kernel (self-selects by shape; see ops/attention.py)
+_C.TPU.USE_PALLAS_ATTENTION = False  # fused kernel available but XLA + transpose-free layout measured faster in-loop
 _C.TPU.PRELOAD_DEVICE_BATCHES = True
 _C.TPU.MAX_DEVICE_DATA_GB = 4.0     # train splits above this stream from host RAM
 _C.TPU.CHECKPOINT_DIR = ""          # orbax save/resume dir ('' = disabled)

@@ -113,31 +113,34 @@ def multi_head_attention(
     qkv = linear(x, params["in_proj"])  # (B, N, 3C)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads(t):  # (B, N, C) -> (B, H, N, hd)
-        return t.reshape(B, N, n_head, hd).transpose(0, 2, 1, 3)
-
-    q, k, v = heads(q), heads(k), heads(v)
-    q = q * (1.0 / math.sqrt(hd))
+    # transpose-free (B, N, H, hd) layout: the head axis rides as a dot_general
+    # batch dim, so XLA folds layouts into the GEMMs instead of emitting
+    # explicit copies (profiled ~10% of epoch time in the transposed layout)
+    q = q.reshape(B, N, n_head, hd) * (1.0 / math.sqrt(hd))
+    k = k.reshape(B, N, n_head, hd)
+    v = v.reshape(B, N, n_head, hd)
 
     if qv_delta_fn is not None:
-        q_delta, v_delta = qv_delta_fn(x)
+        q_delta, v_delta = qv_delta_fn(x)  # (B, H, N, hd) reference-compat layout
         if q_delta is not None:
-            q = q + q_delta.astype(q.dtype)
+            q = q + q_delta.transpose(0, 2, 1, 3).astype(q.dtype)
         if v_delta is not None:
-            v = v + v_delta.astype(v.dtype)
+            v = v + v_delta.transpose(0, 2, 1, 3).astype(v.dtype)
 
     if use_pallas:
         from ..ops.attention import fused_attention
 
-        out = fused_attention(q, k, v, mask=mask)
+        out = fused_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), mask=mask
+        ).transpose(0, 2, 1, 3)
     else:
-        logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
         if mask is not None:
             logits = logits + mask.astype(logits.dtype)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+        out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
 
-    out = out.transpose(0, 2, 1, 3).reshape(B, N, C)
+    out = out.reshape(B, N, C)
     return linear(out, params["out_proj"])
 
 
