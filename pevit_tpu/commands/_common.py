@@ -273,5 +273,19 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
 
     if args.save_predictions:
         dump_artifacts(config, exp_name, best_acc, model_info, txt=True)
+    if args.submit_predictions:
+        from .prediction_submission import submit_predictions
+
+        submission = {
+            "model_name": config.MODEL.NAME,
+            "dataset_name": config.DATASET.DATASET,
+            "n_shot": config.DATASET.NUM_SAMPLES_PER_CLASS,
+            "rnd_seeds": [config.DATASET.RANDOM_SEED_SAMPLING],
+            "predictions": [model_info["best_logits"].tolist()]
+            if model_info.get("best_logits") is not None
+            else [],
+            "num_trainable_params": model_info.get("n_trainable_params"),
+        }
+        submit_predictions(submission, args.submit_by, config)
     logging.info("=> Finished: best %s = %.3f", config.TEST.METRIC or "accuracy", best_acc)
     return best_acc, model_info
