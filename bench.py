@@ -80,7 +80,7 @@ def _main():
 
     n = args.n_train
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8))
+    images = task.prepack(rng.integers(0, 255, (n, 224, 224, 3), dtype=np.uint8))
     labels = jnp.asarray(rng.integers(0, 100, (n,), dtype=np.int64).astype(np.int32))
 
     # the whole multi-epoch training is ONE dispatch (build_fit_fn)

@@ -5,6 +5,7 @@ from .clip import (
     VisionSpec,
     clip_similarity,
     encode_image,
+    patchify_images,
     encode_text,
     init_clip_params,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "VisionSpec",
     "clip_similarity",
     "encode_image",
+    "patchify_images",
     "encode_text",
     "init_clip_params",
     "causal_mask",

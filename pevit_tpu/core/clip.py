@@ -229,10 +229,17 @@ def _run_blocks(
     hooks: Optional[BlockHooks] = None,
     rng: Optional[jax.Array] = None,
     n_layers: int,
-    remat: bool = False,
+    remat=False,
     use_pallas: bool = False,
 ) -> jax.Array:
-    """Scan the stacked transformer blocks over the residual stream."""
+    """Scan the stacked transformer blocks over the residual stream.
+
+    ``remat``: False/"none" saves all block intermediates for backward
+    (more HBM traffic, no recompute); True/"full" rematerialises whole
+    blocks; "dots" saves only matmul outputs (``checkpoint_dots`` policy) —
+    elementwise/softmax/LN intermediates recompute in backward, cutting the
+    per-layer activation stash without re-running the GEMMs.
+    """
     shared = (peft or {}).get("shared")
     layer_tree = (peft or {}).get("layers")
     rngs = (
@@ -260,9 +267,28 @@ def _run_blocks(
         )
         return y, None
 
-    scan_fn = jax.checkpoint(block_fn) if remat else block_fn
+    if remat in (True, "full"):
+        scan_fn = jax.checkpoint(block_fn)
+    elif remat == "dots":
+        scan_fn = jax.checkpoint(block_fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    else:
+        scan_fn = block_fn
     x, _ = jax.lax.scan(scan_fn, x, (blocks, layer_tree, rngs))
     return x
+
+
+def patchify_images(x: jax.Array, patch_size: int) -> jax.Array:
+    """(N, H, W, 3) -> (N, (H/p)*(W/p), p*p*3), dtype-preserving byte shuffle.
+
+    Applied ONCE per dataset (device-side, uint8) so the training loop's
+    per-batch gather feeds the patch-embedding GEMM directly — the layout
+    matches what XLA wants for the (B·G², p²·3)x(p²·3, width) matmul, killing
+    the whole-dataset layout copy + per-step 6D patchify transpose that
+    otherwise dominate input-path time on TPU."""
+    n, h, w_, c = x.shape
+    p = patch_size
+    g, gw = h // p, w_ // p
+    return x.reshape(n, g, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5).reshape(n, g * gw, p * p * c)
 
 
 def encode_image(
@@ -277,22 +303,40 @@ def encode_image(
     remat: bool = False,
     use_pallas: bool = False,
     apply_proj: bool = True,
+    patch_fold: Optional[tuple] = None,
 ) -> jax.Array:
     """Visual tower forward (reference model.py:1034-1051).
 
-    ``x``: (B, H, W, 3) normalised float images.  Returns (B, embed_dim), or
-    (B, width) when ``apply_proj`` is False (TRAIN.MERGE_ENCODER_AND_HEAD_PROJ
-    folds the projection into the classifier head — kadaptation_clip.py:146-158).
+    ``x``: (B, H, W, 3) normalised float images, or — fast input path —
+    (B, G*G, p*p*3) pre-patchified RAW uint8 patches (see ``patchify_images``)
+    with ``patch_fold=(mean, std)``: per-channel CLIP normalisation then folds
+    into the patch-embedding GEMM (W' = W·s, b' = t@W with s=1/(255σ),
+    t=-μ/σ), so the image tensor makes exactly ONE trip through the MXU with
+    no standalone normalise/patchify passes over HBM (profiled ~25% of the
+    B/32 train step).  Returns (B, embed_dim), or (B, width) when
+    ``apply_proj`` is False (TRAIN.MERGE_ENCODER_AND_HEAD_PROJ folds the
+    projection into the classifier head — kadaptation_clip.py:146-158).
     """
     v = spec.vision
     vp = params["visual"]
     B = x.shape[0]
     p, g = v.patch_size, v.grid
 
-    x = x.astype(compute_dtype)
-    # patchify == non-overlapping conv == one GEMM
-    x = x.reshape(B, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, p * p * 3)
-    x = x @ vp["patch_embed"]["kernel"].astype(compute_dtype)
+    if x.ndim == 3:
+        if patch_fold is None:
+            raise ValueError("pre-patchified input requires patch_fold=(mean, std)")
+        mean, std = patch_fold
+        kernel32 = vp["patch_embed"]["kernel"].astype(jnp.float32)  # (p*p*3, width)
+        s = jnp.tile(1.0 / (255.0 * std.astype(jnp.float32)), p * p)
+        t = jnp.tile(-mean.astype(jnp.float32) / std.astype(jnp.float32), p * p)
+        w = (kernel32 * s[:, None]).astype(compute_dtype)
+        b = (t @ kernel32).astype(compute_dtype)
+        x = x.astype(compute_dtype) @ w + b
+    else:
+        x = x.astype(compute_dtype)
+        # patchify == non-overlapping conv == one GEMM
+        x = x.reshape(B, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, p * p * 3)
+        x = x @ vp["patch_embed"]["kernel"].astype(compute_dtype)
 
     cls = jnp.broadcast_to(vp["class_embedding"].astype(compute_dtype), (B, 1, v.width))
     x = jnp.concatenate([cls, x], axis=1)

@@ -96,7 +96,9 @@ class StreamingEpochRunner:
                 labs = np.concatenate([labs, np.zeros((pad, *labs.shape[1:]), labs.dtype)])
                 mask = np.concatenate([mask, np.zeros(pad, np.float32)])
             return (
-                jax.device_put(imgs),
+                # per-batch device-side prepack keeps streaming numerics
+                # identical to the preloaded fast path (same folded GEMM)
+                self.task.prepack(jax.device_put(imgs)),
                 jax.device_put(labs),
                 jax.device_put(mask),
             )

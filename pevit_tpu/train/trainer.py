@@ -63,7 +63,7 @@ class TaskStatic:
     trainable_logit_scale: bool = False
     multilabel: bool = False
     compute_dtype: str = "bfloat16"
-    remat: bool = True
+    remat: str = "none"  # "none" | "full" | "dots" (see core.clip._run_blocks)
     use_pallas: bool = False
     optimizer: str = "sgd"
     momentum: float = 0.9
@@ -101,7 +101,7 @@ class TaskStatic:
             trainable_logit_scale=config.TRAIN.TRAINABLE_LOGIT_SCALE,
             multilabel=config.DATASET.DATASET in {"voc-2007-classification", "chestx-ray8"},
             compute_dtype="float32" if (config.TPU.PARITY_FP32 or config.MODEL.CLIP_FP32) else config.TPU.COMPUTE_DTYPE,
-            remat=config.TPU.REMAT,
+            remat={False: "none", True: "full"}.get(config.TPU.REMAT, str(config.TPU.REMAT)),
             use_pallas=config.TPU.USE_PALLAS_ATTENTION,
             optimizer=config.TRAIN.OPTIMIZER,
             momentum=config.TRAIN.MOMENTUM,
@@ -160,15 +160,37 @@ def model_forward(
 ):
     """uint8 images -> logits.  Normalisation is fused on-device.
 
+    ``images_u8`` is either (B, H, W, 3) raw uint8, or — CLIP-tower fast
+    path — (B, G*G, p*p*3) pre-patchified uint8 (core.clip.patchify_images),
+    in which case normalisation folds into the patch-embedding GEMM.
+
     ``forward_fn(params, x_float, train) -> feats`` overrides the CLIP visual
     tower (auxiliary backbones via models.factory; MERGE_ENCODER_AND_HEAD_PROJ).
     """
     dt = static.dtype
-    x = images_u8.astype(dt) / jnp.asarray(255.0, dt)
-    x = (x - preproc["mean"].astype(dt)) / preproc["std"].astype(dt)
-    if forward_fn is not None:
+    if images_u8.ndim == 3:
+        assert forward_fn is None, "pre-patchified input requires the CLIP tower"
+        hooks = make_hooks(static.peft_cfg, static.spec, train=train)
+        feats = encode_image(
+            bundle["clip"],
+            images_u8,
+            spec=static.spec,
+            peft=bundle.get("peft"),
+            hooks=hooks,
+            rng=rng,
+            compute_dtype=dt,
+            remat=(static.remat if train else False),
+            use_pallas=static.use_pallas,
+            apply_proj=not static.merge_encoder_head_proj,
+            patch_fold=(preproc["mean"], preproc["std"]),
+        )
+    elif forward_fn is not None:
+        x = images_u8.astype(dt) / jnp.asarray(255.0, dt)
+        x = (x - preproc["mean"].astype(dt)) / preproc["std"].astype(dt)
         feats = forward_fn(bundle["clip"], x, train)
     else:
+        x = images_u8.astype(dt) / jnp.asarray(255.0, dt)
+        x = (x - preproc["mean"].astype(dt)) / preproc["std"].astype(dt)
         hooks = make_hooks(static.peft_cfg, static.spec, train=train)
         feats = encode_image(
             bundle["clip"],
@@ -178,7 +200,7 @@ def model_forward(
             hooks=hooks,
             rng=rng,
             compute_dtype=dt,
-            remat=static.remat and train,
+            remat=(static.remat if train else False),
             use_pallas=static.use_pallas,
             apply_proj=not static.merge_encoder_head_proj,
         )
@@ -410,6 +432,42 @@ class TrainTask:
         mean = np.asarray(config.INPUT.MEAN, np.float32)
         std = np.asarray(config.INPUT.STD, np.float32)
         self.preproc = {"mean": jnp.asarray(mean), "std": jnp.asarray(std)}
+        self._prepack_jit = None
+
+    # -- fast input path ------------------------------------------------------
+
+    @property
+    def use_prepack(self) -> bool:
+        """Pre-patchified uint8 fast path (core.clip.patchify_images).
+
+        On whenever training drives the CLIP tower; off for PARITY_FP32 (keeps
+        the reference's normalise-then-patchify op order bit-stable) and for
+        non-CLIP backbones (they need NHWC images)."""
+        return self._forward_fn is None and not self.static.highest_precision
+
+    def prepack(self, images):
+        """Device-put images, pre-patchified when the fast path applies.
+
+        Idempotent: already-packed (N, G*G, p*p*3) arrays pass through, as do
+        NHWC arrays when the fast path is off.  All data entering train/eval
+        goes through here so the preloaded and streaming paths see identical
+        numerics."""
+        if isinstance(images, np.ndarray):
+            images = jnp.asarray(images)
+        if not self.use_prepack or images.ndim != 4:
+            return images
+        p = self.static.spec.vision.patch_size
+        if images.shape[1] % p or images.shape[2] % p:
+            return images
+        if self._prepack_jit is None:
+            from ..core.clip import patchify_images
+
+            # NOTE: do NOT pin the output layout — XLA's natural choice
+            # ({2,0,1} from the transpose) is also what the downstream fit
+            # program wants; forcing default {2,1,0} measured a 30% whole-run
+            # regression (fit re-lays-out every batch access).
+            self._prepack_jit = jax.jit(patchify_images, static_argnums=(1,))
+        return self._prepack_jit(images, p)
 
     # -- bundle construction ------------------------------------------------
 
@@ -527,6 +585,9 @@ class TrainTask:
             if e - s < self.eval_chunk:  # pad to static shape
                 pad = self.eval_chunk - (e - s)
                 imgs = jnp.concatenate([imgs, jnp.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
+            # per-chunk prepack: host-resident test splits stream chunk-wise,
+            # never materialising a packed copy of the whole split on device
+            imgs = self.prepack(imgs)
             chunks.append(np.asarray(ev(frozen, trainable_stack, bn_stack, imgs))[:, : e - s])
         logits = np.concatenate(chunks, axis=1)  # (T, n, C)
         labels_np = np.asarray(labels)
@@ -557,8 +618,7 @@ class TrainTask:
         wds = jnp.asarray([h[1] for h in hparams], jnp.float32)
         schedule = list(self.config.TRAIN.SCHEDULE or [])
         runner = StreamingEpochRunner(self, T)
-        if isinstance(val_images, np.ndarray):
-            val_images = jnp.asarray(val_images)
+        val_images = self.prepack(val_images)
         logging.info(
             "streaming path: %d train images (%.1f GB) stay host-resident",
             len(train_labels), train_images.nbytes / 1e9,
@@ -659,11 +719,10 @@ class TrainTask:
                 end_epoch=end_epoch, seed=seed, keep_logits=keep_logits,
                 log_every=log_every, results=results,
             )
-        if isinstance(train_images, np.ndarray):
-            train_images = jnp.asarray(train_images)
+        train_images = self.prepack(train_images)
+        if isinstance(train_labels, np.ndarray):
             train_labels = jnp.asarray(train_labels)
-        if isinstance(val_images, np.ndarray):
-            val_images = jnp.asarray(val_images)
+        val_images = self.prepack(val_images)
 
         # pad the val split to a whole number of eval chunks (masked on host)
         n_val = int(val_labels.shape[0])
