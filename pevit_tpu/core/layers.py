@@ -127,16 +127,16 @@ def multi_head_attention(
         if v_delta is not None:
             v = v + v_delta.transpose(0, 2, 1, 3).astype(v.dtype)
 
-    if use_pallas:
-        from ..ops.attention import fused_attention
+    if mask is None:
+        # mask-free (vision) path: Pallas fused kernel where it wins, else
+        # the XLA core with a flash-style recompute VJP — either way the
+        # (N, N) probs never survive fwd -> bwd (see ops/attention.py)
+        from ..ops.attention import attention_core
 
-        out = fused_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), mask=mask
-        ).transpose(0, 2, 1, 3)
+        out = attention_core(q, k, v, use_pallas=use_pallas)
     else:
         logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        if mask is not None:
-            logits = logits + mask.astype(logits.dtype)
+        logits = logits + mask.astype(logits.dtype)
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
 

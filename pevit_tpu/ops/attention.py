@@ -130,15 +130,92 @@ def _fused_bwd(interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _xla_attention_bnhd(q, k, v):
+    """Transpose-free attention core: q, k, v and output are (B, N, H, hd);
+    the head axis rides as a dot_general batch dim (no layout copies)."""
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+@jax.custom_vjp
+def xla_attention_remat(q, k, v):
+    """XLA attention with a flash-style VJP: saves only (q, k, v).
+
+    Under plain autodiff, the scanned-blocks backward stashes the fp32
+    softmax probs per layer — at ViT-B/16 batch 64 that is a
+    (12, B, 12, 197, 197) fp32 residual, ~1.4 GB of HBM write+read per
+    step (profiled: the dominant train-step cost and the reason larger
+    batches got SLOWER).  Recomputing the probs in backward costs two
+    small bmms and kills the stash.  (B, N, H, hd) layout throughout.
+    """
+    return _xla_attention_bnhd(q, k, v)
+
+
+def _xla_remat_fwd(q, k, v):
+    return _xla_attention_bnhd(q, k, v), (q, k, v)
+
+
+def _xla_remat_bwd(res, g):
+    q, k, v = res
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", p, g32).astype(v.dtype)
+    dp = jnp.einsum("bnhd,bmhd->bhnm", g32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bmhd->bnhd", ds, k.astype(jnp.float32)).astype(q.dtype)
+    dk = jnp.einsum("bhnm,bnhd->bmhd", ds, q.astype(jnp.float32)).astype(k.dtype)
+    return dq, dk, dv
+
+
+xla_attention_remat.defvjp(_xla_remat_fwd, _xla_remat_bwd)
+
+
+def attention_core(
+    q, k, v, *, use_pallas: bool = False, remat_probs: bool = False, interpret: bool = False
+):
+    """Mask-free attention on (B, N, H, hd) tensors (q pre-scaled, PEFT
+    deltas already added).  Routes to the Pallas fused kernel where it wins
+    (short sequences on TPU), else the plain XLA core.
+
+    ``remat_probs`` swaps in the flash-style recompute VJP.  Measured at
+    ViT-B/16 batch 64 it kills the 1.4 GB/step fp32 probs stash but the
+    softmax recompute costs MORE than the stash on this chip (726 vs 755
+    img/s at batch 32; 605 vs 638 at 64) — HBM is fast relative to the VPU
+    here, so it stays opt-in for models/batches where the stash OOMs."""
+    N = q.shape[-3]
+    if (
+        use_pallas
+        and N <= PALLAS_MAX_SEQ
+        and (jax.default_backend() == "tpu" or interpret)
+    ):
+        t = lambda x: x.transpose(0, 2, 1, 3)
+        return t(_fused(t(q), t(k), t(v), interpret))
+    if remat_probs:
+        return xla_attention_remat(q, k, v)
+    return _xla_attention_bnhd(q, k, v)
+
+
+# Sequence-length ceiling for routing to the Pallas kernel; measured
+# per-shape on-chip (see fused_attention docstring).  Module-level so the
+# trainer/bench can re-gate after measuring a new shape regime.
+PALLAS_MAX_SEQ = 64
+
+
 def fused_attention(q, k, v, mask=None, *, interpret: bool = False):
     """Drop-in for the XLA attention core.  q pre-scaled; see module doc.
 
-    Shape policy (measured on v5e): the fused kernel wins for short
+    Shape policy (measured on-chip): the fused kernel wins for short
     sequences (ViT-B/32's N=50, ~1.5x) where XLA's HBM round trip for the
     attention matrix dominates; at N=197 (ViT-B/16) XLA's own fusion is
-    faster, so we defer to it.
+    faster for the FORWARD, so the default gate defers to it — but in
+    TRAINING the custom-VJP recompute avoids stashing the (B,H,N,N) probs
+    per layer, so the trainer may raise PALLAS_MAX_SEQ where measured faster.
     """
     N = q.shape[-2]
-    if mask is not None or N > 64 or (jax.default_backend() != "tpu" and not interpret):
+    if mask is not None or N > PALLAS_MAX_SEQ or (
+        jax.default_backend() != "tpu" and not interpret
+    ):
         return _xla_attention(q, k, v, mask=mask)
     return _fused(q, k, v, interpret)
