@@ -172,6 +172,44 @@ def _xla_remat_bwd(res, g):
 xla_attention_remat.defvjp(_xla_remat_fwd, _xla_remat_bwd)
 
 
+@jax.custom_vjp
+def xla_attention_lean(q, k, v):
+    """XLA attention whose VJP saves the probs ONCE, in activation dtype.
+
+    Plain autodiff through the scanned blocks stashes the softmax probs
+    TWICE per layer — fp32 (for the softmax grad) AND activation-dtype (the
+    PV operand): (12, B, H, N, N) each, 2.1 GB/step at ViT-B/16 batch 64
+    (trace-diffed; the dynamic-update-slice stashes scale superlinearly
+    with batch and are why bigger batches ran slower).  Saving only the
+    bf16 copy and running the softmax grad from it is the standard
+    flash-attention backward precision; in fp32 compute the saved copy IS
+    fp32, so parity paths are bit-identical to autodiff.
+    """
+    return _xla_attention_bnhd(q, k, v)
+
+
+def _lean_fwd(q, k, v):
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bmhd->bnhd", p, v)
+    return out, (q, k, v, p)
+
+
+def _lean_bwd(res, g):
+    q, k, v, p = res
+    g32 = g.astype(jnp.float32)
+    p32 = p.astype(jnp.float32)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", p32, g32).astype(v.dtype)
+    dp = jnp.einsum("bnhd,bmhd->bhnm", g32, v.astype(jnp.float32))
+    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bmhd->bnhd", ds, k.astype(jnp.float32)).astype(q.dtype)
+    dk = jnp.einsum("bhnm,bnhd->bmhd", ds, q.astype(jnp.float32)).astype(k.dtype)
+    return dq, dk, dv
+
+
+xla_attention_lean.defvjp(_lean_fwd, _lean_bwd)
+
+
 def attention_core(
     q, k, v, *, use_pallas: bool = False, remat_probs: bool = False, interpret: bool = False
 ):
@@ -194,13 +232,20 @@ def attention_core(
         return t(_fused(t(q), t(k), t(v), interpret))
     if remat_probs:
         return xla_attention_remat(q, k, v)
-    return _xla_attention_bnhd(q, k, v)
+    return xla_attention_lean(q, k, v)
 
 
 # Sequence-length ceiling for routing to the Pallas kernel; measured
 # per-shape on-chip (see fused_attention docstring).  Module-level so the
 # trainer/bench can re-gate after measuring a new shape regime.
-PALLAS_MAX_SEQ = 64
+#
+# Default 0 = RETIRED from the default route: the kernel's 1.5x win at N=50
+# was measured against plain-autodiff XLA, which stashes the softmax probs
+# twice (fp32 + bf16) per layer.  With xla_attention_lean (single bf16
+# probs stash, no recompute) the XLA path measures 3187 img/s vs the
+# kernel's 2794 at ViT-B/32 batch 128 — XLA wins at every ViT shape now.
+# The kernel stays for shapes where a (N, N) stash cannot fit at all.
+PALLAS_MAX_SEQ = 0
 
 
 def fused_attention(q, k, v, mask=None, *, interpret: bool = False):
