@@ -271,6 +271,14 @@ def _run_blocks(
         scan_fn = jax.checkpoint(block_fn)
     elif remat == "dots":
         scan_fn = jax.checkpoint(block_fn, policy=jax.checkpoint_policies.checkpoint_dots)
+    elif remat == "lean":
+        # autodiff-equivalent residuals EXCEPT checkpoint-named tensors
+        # (the MLP activation output) which recompute in backward — one
+        # elementwise GELU re-pass instead of a (L,B,N,4C) stash per step
+        scan_fn = jax.checkpoint(
+            block_fn,
+            policy=jax.checkpoint_policies.save_anything_except_these_names("mlp_act"),
+        )
     else:
         scan_fn = block_fn
     x, _ = jax.lax.scan(scan_fn, x, (blocks, layer_tree, rngs))

@@ -76,9 +76,17 @@ def gelu_exact(x: jax.Array) -> jax.Array:
 
 
 def mlp(params: dict, x: jax.Array, act: Callable = None) -> jax.Array:
-    """CLIP block MLP: c_fc (C->4C) -> QuickGELU -> c_proj (4C->C)."""
+    """CLIP block MLP: c_fc (C->4C) -> QuickGELU -> c_proj (4C->C).
+
+    The activation output is checkpoint-named: under the "lean" remat mode
+    (core.clip._run_blocks) autodiff saves the 4C pre-activation ONCE and
+    recomputes the GELU in backward, instead of stashing both the (B,N,4C)
+    pre-activation AND the (B,N,4C) activation per scanned layer."""
     h = linear(x, params["c_fc"])
     h = (act or quick_gelu)(h)
+    from jax.ad_checkpoint import checkpoint_name
+
+    h = checkpoint_name(h, "mlp_act")
     return linear(h, params["c_proj"])
 
 

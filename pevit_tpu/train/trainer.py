@@ -462,10 +462,15 @@ class TrainTask:
         if self._prepack_jit is None:
             from ..core.clip import patchify_images
 
-            # NOTE: do NOT pin the output layout — XLA's natural choice
-            # ({2,0,1} from the transpose) is also what the downstream fit
-            # program wants; forcing default {2,1,0} measured a 30% whole-run
-            # regression (fit re-lays-out every batch access).
+            # NOTE: do NOT pin the output layout.  The fit jit re-copies the
+            # packed dataset to its preferred layout on entry (~156 ms/
+            # dispatch at B/32) and pinning would avoid that — but forcing
+            # layouts through this backend measured a 30% regression under
+            # one program version and outright runtime failures + 2x
+            # degradation under another (see ARCHITECTURE.md perf notes).
+            # Revisit only with AUTO layout negotiation
+            # (jit(...).lower().compile().input_formats) on a backend that
+            # honours explicit formats reliably.
             self._prepack_jit = jax.jit(patchify_images, static_argnums=(1,))
         return self._prepack_jit(images, p)
 
