@@ -52,9 +52,27 @@ def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-
     return y.astype(orig_dtype)
 
 
+@jax.custom_vjp
 def quick_gelu(x: jax.Array) -> jax.Array:
-    """CLIP activation (reference model.py:163-165)."""
+    """CLIP activation (reference model.py:163-165).
+
+    Custom VJP saves only ``x`` and recomputes the sigmoid in backward;
+    plain autodiff additionally stashes sigmoid(1.702x) per scanned layer —
+    a (L, B, N, 4C) tensor (~470 MB/step at B/32 batch 128).  One extra
+    elementwise pass beats that stash on-chip (B/32 +0.9%, B/16 +3%)."""
     return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _quick_gelu_fwd(x):
+    return x * jax.nn.sigmoid(1.702 * x), x
+
+
+def _quick_gelu_bwd(x, g):
+    s = jax.nn.sigmoid(1.702 * x)
+    return (g * (s + 1.702 * x * s * (1 - s)),)
+
+
+quick_gelu.defvjp(_quick_gelu_fwd, _quick_gelu_bwd)
 
 
 def gelu_new(x: jax.Array) -> jax.Array:
