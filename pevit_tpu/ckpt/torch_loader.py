@@ -28,18 +28,54 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.clip import CLIPSpec, TextSpec, VisionSpec, init_clip_params
+from ..core.resnet import RN_SPECS, ResNetSpec
 
 # canonical OpenAI checkpoint names accepted by MODEL.NAME (clip_load.py:30-41)
 MODEL_CKPT_NAMES = {
     "ViT-B/32": "ViT-B-32.pt",
     "ViT-B/16": "ViT-B-16.pt",
+    "RN50": "RN50.pt",
+    "RN101": "RN101.pt",
+    "RN50x4": "RN50x4.pt",
+    "RN50x16": "RN50x16.pt",
+    "RN50x64": "RN50x64.pt",
 }
+
+
+def _text_spec_from_state_dict(sd: dict) -> TextSpec:
+    transformer_width = sd["ln_final.weight"].shape[0]
+    return TextSpec(
+        context_length=sd["positional_embedding"].shape[0],
+        vocab_size=sd["token_embedding.weight"].shape[0],
+        width=transformer_width,
+        heads=max(1, transformer_width // 64),
+        layers=len({k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")}),
+        output_dim=sd["text_projection"].shape[1],
+    )
 
 
 def infer_spec_from_state_dict(sd: dict) -> CLIPSpec:
     """Architecture inference from checkpoint key shapes (model.py:1210-1233)."""
     if "visual.proj" not in sd:
-        raise NotImplementedError("Only ViT visual towers are supported (no ModifiedResNet)")
+        # RN branch (model.py:1221-1227): layer counts from block indices
+        counts = tuple(
+            len({k.split(".")[2] for k in sd if k.startswith(f"visual.layer{b}.")})
+            for b in (1, 2, 3, 4)
+        )
+        vision_width = sd["visual.layer1.0.conv1.weight"].shape[0]
+        output_width = round((sd["visual.attnpool.positional_embedding"].shape[0] - 1) ** 0.5)
+        assert output_width ** 2 + 1 == sd["visual.attnpool.positional_embedding"].shape[0]
+        text = _text_spec_from_state_dict(sd)
+        return CLIPSpec(
+            embed_dim=text.output_dim,
+            text=text,
+            vision_rn=ResNetSpec(
+                input_resolution=output_width * 32,
+                width=vision_width,
+                layers=counts,
+                output_dim=sd["visual.attnpool.c_proj.weight"].shape[0],
+            ),
+        )
     vision_width = sd["visual.conv1.weight"].shape[0]
     vision_layers = len(
         [k for k in sd if k.startswith("visual.") and k.endswith(".attn.in_proj_weight")]
@@ -48,32 +84,18 @@ def infer_spec_from_state_dict(sd: dict) -> CLIPSpec:
     grid_size = round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5)
     image_resolution = vision_patch_size * grid_size
 
-    embed_dim = sd["text_projection"].shape[1]
-    context_length = sd["positional_embedding"].shape[0]
-    vocab_size = sd["token_embedding.weight"].shape[0]
-    transformer_width = sd["ln_final.weight"].shape[0]
-    transformer_heads = max(1, transformer_width // 64)
-    transformer_layers = len(
-        {k.split(".")[2] for k in sd if k.startswith("transformer.resblocks")}
-    )
+    text = _text_spec_from_state_dict(sd)
     return CLIPSpec(
-        embed_dim=embed_dim,
+        embed_dim=text.output_dim,
         vision=VisionSpec(
             input_resolution=image_resolution,
             patch_size=vision_patch_size,
             width=vision_width,
             layers=vision_layers,
             heads=max(1, vision_width // 64),
-            output_dim=embed_dim,
+            output_dim=text.output_dim,
         ),
-        text=TextSpec(
-            context_length=context_length,
-            vocab_size=vocab_size,
-            width=transformer_width,
-            heads=transformer_heads,
-            layers=transformer_layers,
-            output_dim=embed_dim,
-        ),
+        text=text,
     )
 
 
@@ -122,10 +144,80 @@ def _stack_blocks(sd: dict, prefix: str, n_layers: int) -> dict:
     }
 
 
+def _rn_bn(sd: dict, prefix: str) -> dict:
+    return {
+        "scale": jnp.asarray(sd[f"{prefix}.weight"]),
+        "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+        "mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
+        "var": jnp.asarray(sd[f"{prefix}.running_var"]),
+    }
+
+
+def _rn_conv(sd: dict, key: str) -> jax.Array:
+    # torch OIHW -> HWIO
+    return jnp.asarray(np.asarray(sd[key]).transpose(2, 3, 1, 0))
+
+
+def _rn_visual_params(sd: dict, rn: ResNetSpec) -> dict:
+    """Map a ModifiedResNet state_dict (model.py:94-125 layout) onto our tree."""
+    tree = {
+        "stem": {
+            "conv1": _rn_conv(sd, "visual.conv1.weight"), "bn1": _rn_bn(sd, "visual.bn1"),
+            "conv2": _rn_conv(sd, "visual.conv2.weight"), "bn2": _rn_bn(sd, "visual.bn2"),
+            "conv3": _rn_conv(sd, "visual.conv3.weight"), "bn3": _rn_bn(sd, "visual.bn3"),
+        }
+    }
+    for li, n_blocks in enumerate(rn.layers, start=1):
+        layer = {}
+        for bi in range(n_blocks):
+            p = f"visual.layer{li}.{bi}"
+            block = {
+                "conv1": _rn_conv(sd, f"{p}.conv1.weight"), "bn1": _rn_bn(sd, f"{p}.bn1"),
+                "conv2": _rn_conv(sd, f"{p}.conv2.weight"), "bn2": _rn_bn(sd, f"{p}.bn2"),
+                "conv3": _rn_conv(sd, f"{p}.conv3.weight"), "bn3": _rn_bn(sd, f"{p}.bn3"),
+            }
+            # downsample Sequential: "-1" avgpool, "0" conv, "1" bn (model.py:33-39)
+            if f"{p}.downsample.0.weight" in sd:
+                block["downsample"] = {
+                    "conv": _rn_conv(sd, f"{p}.downsample.0.weight"),
+                    "bn": _rn_bn(sd, f"{p}.downsample.1"),
+                }
+            layer[str(bi)] = block
+        tree[f"layer{li}"] = layer
+
+    def lin(prefix):
+        return {
+            "kernel": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).T),
+            "bias": jnp.asarray(sd[f"{prefix}.bias"]),
+        }
+
+    tree["attnpool"] = {
+        "positional_embedding": jnp.asarray(sd["visual.attnpool.positional_embedding"]),
+        "q_proj": lin("visual.attnpool.q_proj"),
+        "k_proj": lin("visual.attnpool.k_proj"),
+        "v_proj": lin("visual.attnpool.v_proj"),
+        "c_proj": lin("visual.attnpool.c_proj"),
+    }
+    return tree
+
+
 def state_dict_to_params(sd: dict) -> tuple:
     """Convert a torch state_dict (numpy-valued ok) to (params, spec)."""
     sd = {k: np.asarray(v, np.float32) for k, v in sd.items() if hasattr(v, "shape") or np.isscalar(v)}
     spec = infer_spec_from_state_dict(sd)
+    if spec.vision_rn is not None:
+        params = {
+            "visual": _rn_visual_params(sd, spec.vision_rn),
+            "text": {
+                "token_embedding": jnp.asarray(sd["token_embedding.weight"]),
+                "positional_embedding": jnp.asarray(sd["positional_embedding"]),
+                "blocks": _stack_blocks(sd, "transformer.resblocks", spec.text.layers),
+                "ln_final": _ln(sd, "ln_final"),
+                "text_projection": jnp.asarray(sd["text_projection"]),
+            },
+            "logit_scale": jnp.asarray(sd["logit_scale"].reshape(())),
+        }
+        return params, spec
     v = spec.vision
     conv = sd["visual.conv1.weight"]  # (width, 3, p, p)
     patch_kernel = conv.transpose(2, 3, 1, 0).reshape(v.patch_size * v.patch_size * 3, v.width)
@@ -188,7 +280,13 @@ def load_clip(
             "=> NO pretrained weights for %s; RANDOM-init CLIP (benchmarks/tests only)",
             model_name,
         )
-        spec = spec_hint or (CLIPSpec.vit_b16() if "16" in model_name else CLIPSpec.vit_b32())
+        if spec_hint is not None:
+            spec = spec_hint
+        elif model_name in RN_SPECS:
+            rn = RN_SPECS[model_name]
+            spec = CLIPSpec(embed_dim=rn.output_dim, vision_rn=rn)
+        else:
+            spec = CLIPSpec.vit_b16() if "16" in model_name else CLIPSpec.vit_b32()
         return init_clip_params(jax.random.PRNGKey(seed), spec), spec
 
     if checkpoint_path == "random":

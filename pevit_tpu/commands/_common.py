@@ -215,11 +215,15 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
 
     if is_clip:
         ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
+        from ..core.resnet import RN_SPECS
+
         clip_params, spec = load_clip(
             name,
             checkpoint_path=ckpt,
             seed=args.fix_seed,
-            spec_hint=CLIPSpec.from_config(config),
+            # RN names carry their architecture (RN_SPECS / ckpt inference);
+            # the config-derived hint describes a ViT and must not shadow it
+            spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
         )
         backbone = None
         feat_dim = 0

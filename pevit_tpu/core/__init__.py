@@ -10,6 +10,7 @@ from .clip import (
     init_clip_params,
 )
 from .layers import causal_mask, gelu_new, layer_norm, mlp, quick_gelu
+from .resnet import RN_SPECS, ResNetSpec, encode_image_rn, init_resnet_params
 
 __all__ = [
     "BlockHooks",
@@ -26,4 +27,8 @@ __all__ = [
     "layer_norm",
     "mlp",
     "quick_gelu",
+    "RN_SPECS",
+    "ResNetSpec",
+    "encode_image_rn",
+    "init_resnet_params",
 ]

@@ -69,6 +69,9 @@ class CLIPSpec:
     embed_dim: int = 512
     vision: VisionSpec = dataclasses.field(default_factory=VisionSpec)
     text: TextSpec = dataclasses.field(default_factory=TextSpec)
+    # Set for RN checkpoints (ModifiedResNet visual tower — model.py:1213-1222);
+    # when present the visual tower is the ResNet and ``vision`` is unused.
+    vision_rn: Optional["ResNetSpec"] = None  # noqa: F821 (resnet.py)
 
     @staticmethod
     def vit_b32() -> "CLIPSpec":
@@ -186,6 +189,18 @@ def _init_blocks(rng: jax.Array, n_layers: int, width: int) -> dict:
 def init_clip_params(rng: jax.Array, spec: CLIPSpec) -> dict:
     kv, kt, k1, k2, k3, k4, k5 = jax.random.split(rng, 7)
     v, t = spec.vision, spec.text
+    if spec.vision_rn is not None:
+        from .resnet import init_resnet_params
+
+        visual = init_resnet_params(kv, spec.vision_rn)
+        text = init_clip_params(
+            rng, dataclasses.replace(spec, vision_rn=None)
+        )["text"]
+        return {
+            "visual": visual,
+            "text": text,
+            "logit_scale": jnp.asarray(math.log(1.0 / 0.07), jnp.float32),
+        }
     scale = v.width ** -0.5
     params = {
         "visual": {
@@ -325,6 +340,16 @@ def encode_image(
     ``apply_proj`` is False (TRAIN.MERGE_ENCODER_AND_HEAD_PROJ folds the
     projection into the classifier head — kadaptation_clip.py:146-158).
     """
+    if spec.vision_rn is not None:
+        # ModifiedResNet tower: never carries PEFT hooks (the reference's RN
+        # branch has no kattention — model.py:1076-1084) and has no separate
+        # visual projection (c_proj lives inside attnpool).
+        if hooks is not None and (hooks.attn_delta is not None or hooks.mlp_post is not None):
+            raise ValueError("PEFT hooks are ViT-only; RN towers load frozen (reference parity)")
+        from .resnet import encode_image_rn
+
+        return encode_image_rn(params, x, spec=spec.vision_rn, compute_dtype=compute_dtype)
+
     v = spec.vision
     vp = params["visual"]
     B = x.shape[0]

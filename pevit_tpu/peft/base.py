@@ -62,6 +62,11 @@ def init_peft(rng: jax.Array, cfg: PeftConfig, spec: CLIPSpec) -> Optional[dict]
     """Initialise the PEFT parameter tree for the visual tower (or None)."""
     if not cfg.has_peft_params:
         return None
+    if spec.vision_rn is not None:
+        raise ValueError(
+            f"PEFT method {cfg.method!r} requires a ViT visual tower; the RN "
+            "towers load frozen (reference model.py:1076-1084 has no kattention)"
+        )
     return _INITS[cfg.method](rng, spec.vision.layers, spec.vision.width)
 
 

@@ -440,10 +440,14 @@ class TrainTask:
     def use_prepack(self) -> bool:
         """Pre-patchified uint8 fast path (core.clip.patchify_images).
 
-        On whenever training drives the CLIP tower; off for PARITY_FP32 (keeps
-        the reference's normalise-then-patchify op order bit-stable) and for
-        non-CLIP backbones (they need NHWC images)."""
-        return self._forward_fn is None and not self.static.highest_precision
+        On whenever training drives the CLIP ViT tower; off for PARITY_FP32
+        (keeps the reference's normalise-then-patchify op order bit-stable),
+        for non-CLIP backbones, and for RN towers (both need NHWC images)."""
+        return (
+            self._forward_fn is None
+            and not self.static.highest_precision
+            and self.static.spec.vision_rn is None
+        )
 
     def prepack(self, images):
         """Device-put images, pre-patchified when the fast path applies.
