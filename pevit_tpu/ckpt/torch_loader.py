@@ -254,8 +254,11 @@ def read_torch_state_dict(path: str) -> dict:
     except Exception:
         obj = torch.load(path, map_location="cpu", weights_only=False)
         sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-        if isinstance(sd, dict) and "state_dict" in sd:
-            sd = sd["state_dict"]
+        # common wrappers: {'state_dict': ...} (mocov3/swin), {'model': ...}
+        # (mae/declip — models/declip.py:25, mae.py)
+        for wrap in ("state_dict", "model"):
+            if isinstance(sd, dict) and wrap in sd and isinstance(sd[wrap], dict):
+                sd = sd[wrap]
     return {k: v.float().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
 
 

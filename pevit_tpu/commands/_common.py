@@ -249,7 +249,10 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
                 import jax as _jax
 
                 texts, offsets = build_prompts(config)
-                toks = _tok(texts, config.MODEL.SPEC.TEXT.CONTEXT_LENGTH, truncate=True)
+                if backbone.tokenize is not None:
+                    toks = backbone.tokenize(texts, config.MODEL.SPEC.TEXT.CONTEXT_LENGTH)
+                else:
+                    toks = _tok(texts, config.MODEL.SPEC.TEXT.CONTEXT_LENGTH, truncate=True)
                 emb = np.asarray(_jax.jit(backbone.encode_text)(backbone.params, toks), np.float32)
                 emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12
                 cols = []

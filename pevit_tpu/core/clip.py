@@ -327,6 +327,7 @@ def encode_image(
     use_pallas: bool = False,
     apply_proj: bool = True,
     patch_fold: Optional[tuple] = None,
+    return_all_tokens: bool = False,
 ) -> jax.Array:
     """Visual tower forward (reference model.py:1034-1051).
 
@@ -388,6 +389,11 @@ def encode_image(
         remat=remat,
         use_pallas=use_pallas,
     )
+
+    if return_all_tokens:
+        # Full post-blocks residual stream, pre-ln_post — the DeCLIP family's
+        # ``dense_feat`` (declip_model/image_encoder/visual_transformer.py:66).
+        return x
 
     x = layer_norm(x[:, 0, :], vp["ln_post"]["scale"], vp["ln_post"]["bias"])
     if not apply_proj:

@@ -57,7 +57,11 @@ def _clean(text: str) -> str:
 
 
 class ClipTokenizer:
-    def __init__(self, bpe_path: str = _DEFAULT_BPE):
+    def __init__(self, bpe_path: str = _DEFAULT_BPE, mask_token: bool = False):
+        """``mask_token=True`` reproduces the DeCLIP-family vocabulary
+        (models/declip_model/utils/text_utils/simple_tokenizer.py:61-79):
+        ``<|mask|>`` is inserted BEFORE sot/eot, shifting their ids by +1
+        (vocab 49409, sot=49407, eot=49408)."""
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         with gzip.open(bpe_path, "rt", encoding="utf-8") as f:
@@ -68,11 +72,15 @@ class ClipTokenizer:
         vocab = vocab + [v + "</w>" for v in vocab]
         for m in merges:
             vocab.append("".join(m))
+        if mask_token:
+            vocab.append("<|mask|>")
         vocab.extend(["<|startoftext|>", "<|endoftext|>"])
         self.encoder = dict(zip(vocab, range(len(vocab))))
         self.decoder = {v: k for k, v in self.encoder.items()}
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {"<|startoftext|>": "<|startoftext|>", "<|endoftext|>": "<|endoftext|>"}
+        if mask_token:
+            self.cache["<|mask|>"] = "<|mask|>"
         self.pat = re.compile(
             r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
             re.IGNORECASE,
@@ -132,6 +140,7 @@ class ClipTokenizer:
 
 
 _tokenizer_singleton = None
+_declip_tokenizer_singleton = None
 
 
 def get_tokenizer() -> ClipTokenizer:
@@ -139,6 +148,30 @@ def get_tokenizer() -> ClipTokenizer:
     if _tokenizer_singleton is None:
         _tokenizer_singleton = ClipTokenizer()
     return _tokenizer_singleton
+
+
+def get_declip_tokenizer() -> ClipTokenizer:
+    global _declip_tokenizer_singleton
+    if _declip_tokenizer_singleton is None:
+        _declip_tokenizer_singleton = ClipTokenizer(mask_token=True)
+    return _declip_tokenizer_singleton
+
+
+def declip_tokenize(texts: Union[str, List[str]], context_length: int = 77) -> np.ndarray:
+    """DeCLIP-contract tokenize (declip_model/text_encoder/text_transformer.py:
+    144-180): shifted vocab ids, silent truncation that keeps sot + the first
+    context_length-2 body tokens + eot."""
+    if isinstance(texts, str):
+        texts = [texts]
+    tok = get_declip_tokenizer()
+    sot, eot = tok.encoder["<|startoftext|>"], tok.encoder["<|endoftext|>"]
+    result = np.zeros((len(texts), context_length), np.int32)
+    for i, text in enumerate(texts):
+        tokens = [sot] + tok.encode(text) + [eot]
+        if len(tokens) > context_length:
+            tokens = [tokens[0]] + tokens[1 : context_length - 1] + [tokens[-1]]
+        result[i, : len(tokens)] = tokens
+    return result
 
 
 def tokenize(

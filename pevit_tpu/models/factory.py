@@ -33,6 +33,10 @@ class Backbone:
     feat_dim: int
     forward_features: Callable  # (params, images_float) -> (B, feat_dim)
     encode_text: Optional[Callable] = None  # (params, tokens) -> (B, feat_dim)
+    # tokenizer matching the text tower's vocabulary; None -> OpenAI CLIP
+    # tokenize.  The DeCLIP family ships a shifted vocab (<|mask|> inserted) —
+    # declip_model/utils/text_utils/simple_tokenizer.py:61-79.
+    tokenize: Optional[Callable] = None
 
 
 def _vit_spec_from_name(name: str, num_classes: int = 0) -> _vit.ViTSpec:
@@ -46,6 +50,17 @@ def get_model(config, feature_type: str = "image") -> Backbone:
     name = config.MODEL.NAME
     ckpt_file = config.TEST.MODEL_FILE or None
     rng = jax.random.PRNGKey(0)
+
+    # --- plugin stubs (models/cls_example.py / clip_example.py; the
+    # reference dispatches by eval(MODEL.NAME + '.get_cls_model')) ----------
+    if name == "cls_example":
+        from .examples import get_cls_example
+
+        return get_cls_example(config)
+    if name == "clip_example":
+        from .examples import get_clip_example
+
+        return get_clip_example(config)
 
     # --- OpenAI CLIP -------------------------------------------------------
     if name.startswith("ViT-B") or name.startswith("ViT-L") or name.startswith("RN"):
@@ -94,6 +109,8 @@ def get_model(config, feature_type: str = "image") -> Backbone:
             if "model" in raw and isinstance(raw["model"], dict):
                 raw = raw["model"]
             params, spec = _swin.swin_state_dict_to_params(raw)
+            # input resolution is a config property, not a weight shape
+            spec = dataclasses.replace(spec, img_size=config.TRAIN.IMAGE_SIZE[0])
         else:
             spec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
             params = _swin.init_swin_params(rng, spec)
@@ -105,51 +122,109 @@ def get_model(config, feature_type: str = "image") -> Backbone:
             forward_features=lambda p, x: _swin.swin_forward_features(p, x, spec=spec),
         )
 
-    # --- CLIP with Swin visual tower (models/clip_swin.py:274-284) ----------
+    # --- CLIP with Swin visual tower (models/clip_swin.py:253-284) ----------
+    # NOTE: clip_swin's encode_image/encode_text L2-normalise by default
+    # (clip_swin.py:246-260 norm=True) — features leave this factory already
+    # normalised, matching what the reference's linear probe sees.
     if name.startswith("clip_swin"):
         from ..core.clip import CLIPSpec, encode_text as core_encode_text, init_clip_params
 
-        sspec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
         embed = config.MODEL.SPEC.get("EMBED_DIM", 512)
-        # text tower dims come from MODEL.SPEC.TEXT (clip_swin.py builds the
-        # text transformer from the config dict)
         cspec = CLIPSpec.from_config(config)
-        core = init_clip_params(rng, cspec)
-        k = jax.random.split(rng)[0]
-        params = {
-            "visual": _swin.init_swin_params(k, sspec),
-            "visual_proj": 0.02 * jax.random.normal(k, (sspec.stage_dim(sspec.num_stages - 1), embed), jnp.float32),
-            "text": core["text"],
-            "logit_scale": core["logit_scale"],
-        }
+        if ckpt_file:
+            from ..ckpt.torch_loader import read_torch_state_dict
+
+            raw = read_torch_state_dict(ckpt_file)
+            params, sspec, cspec = _swin.clip_swin_state_dict_to_params(raw)
+            sspec = dataclasses.replace(sspec, img_size=config.TRAIN.IMAGE_SIZE[0])
+            # head count is not recoverable from a state_dict; the YAML's
+            # MODEL.SPEC.TEXT.HEADS is authoritative (clip_swin.py:164)
+            heads = (config.MODEL.SPEC.get("TEXT", {}) or {}).get("HEADS", cspec.text.heads)
+            cspec = dataclasses.replace(
+                cspec, text=dataclasses.replace(cspec.text, heads=heads)
+            )
+            embed = cspec.embed_dim
+        else:
+            sspec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
+            core = init_clip_params(rng, cspec)
+            k = jax.random.split(rng)[0]
+            params = {
+                "visual": _swin.init_swin_params(k, sspec),
+                "vision_projection": 0.02
+                * jax.random.normal(k, (sspec.stage_dim(sspec.num_stages - 1), embed), jnp.float32),
+                "text": core["text"],
+                "text_projection": core["text"].pop("text_projection"),
+                "logit_scale": core["logit_scale"],
+            }
+            logging.warning("=> %s: RANDOM init (no TEST.MODEL_FILE)", name)
 
         def fwd(p, x):
             feats = _swin.swin_forward_features(p["visual"], x, spec=sspec)
-            return feats.astype(jnp.float32) @ p["visual_proj"]
+            feats = feats.astype(jnp.float32) @ p["vision_projection"]
+            return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+        def txt(p, t):
+            # clip_swin's text tower keeps the projection OUTSIDE the tower
+            # (clip_swin.py:171-173,255-260)
+            x = core_encode_text(
+                {"text": dict(p["text"], text_projection=p["text_projection"])},
+                t, spec=cspec,
+            )
+            return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
         return Backbone(
             name=name, params=params, feat_dim=embed,
             forward_features=fwd,
-            encode_text=lambda p, t: core_encode_text({"text": p["text"]} | {"logit_scale": p["logit_scale"]}, t, spec=cspec),
+            encode_text=txt,
         )
 
-    # --- DeCLIP family (models/declip.py:8-38) -------------------------------
+    # --- DeCLIP family (models/declip.py:8-38, feature.py:262-281) ----------
     if name.lower().startswith(("declip", "slip", "filip", "defilip", "clip_yfcc")):
         variant = name.split("_")[0].lower()
-        dspec = _declip.DeclipSpec(
-            variant=variant,
-            embed_dim=config.MODEL.SPEC.get("EMBED_DIM", 512),
-            dense_eval=bool(config.MODEL.SPEC.get("DENSE_EVAL", False)),
-        )
-        params = _declip.init_declip_params(rng, dspec)
+        if name.lower().startswith(("clip_yfcc", "declip_yfcc")):
+            variant = "clip_yfcc"
         if ckpt_file:
-            logging.warning("DeCLIP checkpoint loading not yet wired; using random init")
+            from ..ckpt.torch_loader import read_torch_state_dict
+
+            raw = read_torch_state_dict(ckpt_file)
+            sd = _declip.normalize_declip_state_dict(raw)
+            params, dspec = _declip.declip_state_dict_to_params(
+                sd, input_resolution=config.TRAIN.IMAGE_SIZE[0]
+            )
+            dspec = dataclasses.replace(dspec, variant=variant)
+        else:
+            dspec = dataclasses.replace(
+                _declip.DeclipSpec.from_config(config), variant=variant
+            )
+            params = _declip.init_declip_params(rng, dspec)
+            logging.warning("=> %s: RANDOM init (no TEST.MODEL_FILE)", name)
+
+        from ..data.tokenizer import declip_tokenize
+
+        if dspec.dense_eval:
+            # filip_/defilip_ eval via the dense mapping heads; the reference
+            # flattens (B, N, dense_dim) -> (B, N*dense_dim) downstream
+            # (feature.py:352 np.reshape(features, (N, -1)))
+            n_img_tokens = dspec.vision.seq_len - 1
+            return Backbone(
+                name=name,
+                params=params,
+                feat_dim=n_img_tokens * dspec.dense_embed_dim,
+                forward_features=lambda p, x: _declip.encode_image_dense(
+                    p, x, spec=dspec
+                ).reshape(x.shape[0], -1),
+                encode_text=lambda p, t: _declip.encode_text_dense(
+                    p, t, spec=dspec
+                ).reshape(t.shape[0], -1),
+                tokenize=declip_tokenize,
+            )
         return Backbone(
             name=name,
             params=params,
             feat_dim=dspec.embed_dim,
             forward_features=lambda p, x: _declip.encode_image(p, x, spec=dspec),
             encode_text=lambda p, t: _declip.encode_text(p, t, spec=dspec),
+            tokenize=declip_tokenize,
         )
 
     raise ValueError(f"Unknown MODEL.NAME: {name!r} (feature.py get_model surface)")

@@ -298,6 +298,57 @@ def swin_state_dict_to_params(sd: dict) -> tuple:
     return params, spec
 
 
+def clip_swin_state_dict_to_params(sd: dict) -> tuple:
+    """CLIP-Swin checkpoint (clip_swin.py:153-260 layout) ->
+    (params, SwinSpec, CLIPSpec).
+
+    Keys: ``visual.*`` (official Swin layout — reuses
+    ``swin_state_dict_to_params``), ``text.token_embedding.weight`` /
+    ``text.positional_embedding`` / ``text.resblocks.N.*`` /
+    ``text.ln_final.*`` (clip_swin.py:77-146), plus bare ``text_projection``
+    and ``vision_projection`` matrices and ``logit_scale``
+    (clip_swin.py:170-202).  Loaded strict=False by the reference
+    (feature.py:236) — unknown keys are ignored here too.
+    """
+    import numpy as np
+
+    from ..ckpt.torch_loader import _ln, _stack_blocks
+    from ..core.clip import CLIPSpec, TextSpec
+
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items() if hasattr(v, "shape")}
+    visual_sd = {k[len("visual."):]: v for k, v in sd.items() if k.startswith("visual.")}
+    visual_params, sspec = swin_state_dict_to_params(visual_sd)
+
+    tsub = {k[len("text."):]: v for k, v in sd.items() if k.startswith("text.")}
+    n_layers = len({k.split(".")[1] for k in tsub if k.startswith("resblocks.")})
+    twidth = tsub["token_embedding.weight"].shape[1]
+    embed_dim = sd["text_projection"].shape[1]
+    cspec = CLIPSpec(
+        embed_dim=embed_dim,
+        text=TextSpec(
+            context_length=tsub["positional_embedding"].shape[0],
+            vocab_size=tsub["token_embedding.weight"].shape[0],
+            width=twidth,
+            heads=max(1, twidth // 64),
+            layers=n_layers,
+            output_dim=embed_dim,
+        ),
+    )
+    params = {
+        "visual": visual_params,
+        "vision_projection": jnp.asarray(sd["vision_projection"]),
+        "text": {
+            "token_embedding": jnp.asarray(tsub["token_embedding.weight"]),
+            "positional_embedding": jnp.asarray(tsub["positional_embedding"]),
+            "blocks": _stack_blocks(tsub, "resblocks", n_layers),
+            "ln_final": _ln(tsub, "ln_final"),
+        },
+        "text_projection": jnp.asarray(sd["text_projection"]),
+        "logit_scale": jnp.asarray(sd["logit_scale"].reshape(())),
+    }
+    return params, sspec, cspec
+
+
 def swin_tiny(num_classes: int = 0, img_size: int = 224) -> SwinSpec:
     return SwinSpec(img_size=img_size, num_classes=num_classes)
 

@@ -141,23 +141,29 @@ def test_swin_forward_shapes():
 
 
 def test_declip_towers():
-    from pevit_tpu.core.clip import TextSpec
+    from pevit_tpu.core.clip import TextSpec, VisionSpec
 
     spec = DeclipSpec(
+        variant="filip",
         embed_dim=32,
-        vision=ViTSpec(input_resolution=32, patch_size=16, width=64, layers=2, heads=2),
+        vision=VisionSpec(input_resolution=32, patch_size=16, width=64, layers=2, heads=2, output_dim=32),
         text=TextSpec(context_length=12, vocab_size=64, width=32, heads=2, layers=2, output_dim=32),
+        dense_embed_dim=16,
     )
     params = init_declip_params(jax.random.PRNGKey(0), spec)
     from pevit_tpu.models import declip
 
-    img = declip.encode_image(params, jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3)), spec=spec)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    img = declip.encode_image(params, x, spec=spec)
     assert img.shape == (2, 32)
     toks = jnp.zeros((2, 12), jnp.int32).at[:, 4].set(63)
     txt = declip.encode_text(params, toks, spec=spec)
     assert txt.shape == (2, 32)
-    dense = declip.encode_text_dense(params, toks, spec=spec)
-    assert dense.shape == (2, 12, 32)
+    # FILIP dense surfaces: per-token features through the mapping heads
+    dense_t = declip.encode_text_dense(params, toks, spec=spec)
+    assert dense_t.shape == (2, 12, 16)
+    dense_i = declip.encode_image_dense(params, x, spec=spec)
+    assert dense_i.shape == (2, 4, 16)
 
 
 def test_factory_dispatch():
