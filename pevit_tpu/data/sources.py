@@ -153,6 +153,8 @@ def _synthetic(name: str, split: str, image_size: int, num_classes: int) -> Arra
     """
     import zlib
 
+    from ..evaluation.metrics import MULTILABEL_DATASETS
+
     name_seed = zlib.crc32(name.encode()) % (2**31)
     split_seed = zlib.crc32(f"{name}/{split}".encode()) % (2**31)
     base = np.random.default_rng(name_seed).integers(30, 225, (max(num_classes, 1), 3))
@@ -160,6 +162,21 @@ def _synthetic(name: str, split: str, image_size: int, num_classes: int) -> Arra
     n = {"train": 32 * max(2, num_classes), "val": 8 * max(2, num_classes), "test": 16 * max(2, num_classes)}[split]
     ys = rng.integers(0, max(num_classes, 1), n)
     imgs = base[ys][:, None, None, :] + rng.normal(0, 30, (n, image_size, image_size, 3))
+    if name in MULTILABEL_DATASETS:
+        # voc-2007-shaped synthetic data: binary (N, C) labels — the primary
+        # class plus an occasional second positive, whose prototype colour is
+        # blended into the image so BCE training has signal for both.
+        C = max(num_classes, 2)
+        y_mat = np.zeros((n, C), np.int64)
+        y_mat[np.arange(n), ys] = 1
+        extra = rng.integers(0, C, n)
+        has_extra = (rng.random(n) < 0.3) & (extra != ys)
+        y_mat[np.arange(n)[has_extra], extra[has_extra]] = 1
+        imgs[has_extra] = 0.5 * imgs[has_extra] + 0.5 * (
+            base[extra[has_extra]][:, None, None, :]
+            + rng.normal(0, 30, (int(has_extra.sum()), image_size, image_size, 3))
+        )
+        return ArrayDataset(np.clip(imgs, 0, 255).astype(np.uint8), y_mat)
     return ArrayDataset(np.clip(imgs, 0, 255).astype(np.uint8), ys.astype(np.int64))
 
 

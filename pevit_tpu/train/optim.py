@@ -133,16 +133,89 @@ def clip_grad_norm(grads, max_norm):
     return jax.tree.map(lambda g: g * scale.astype(g.dtype), grads)
 
 
+# --- weight-decay masks ------------------------------------------------------
+
+def _path_keys(kp) -> list:
+    return [str(k.key) if hasattr(k, "key") else str(getattr(k, "idx", k)) for k in kp]
+
+
+def build_wd_mask(params, without_wd_list, *, timm_filter: bool = False):
+    """Per-leaf 0/1 weight-decay multipliers.
+
+    Mirrors reference optim/build.py:18-85 (_set_wd): 'ln'/'bn' rules zero
+    decay on normalisation scale+bias, 'bias' on every *.bias leaf ('gn' and
+    'depthwise' have no counterpart in these trees).  ``timm_filter``
+    reproduces timm create_optimizer's default filter_bias_and_bn: no decay
+    on any rank<=1 parameter.  Returns None when nothing masks (so callers
+    keep the specialised fast path).
+    """
+    rules = set(without_wd_list or [])
+
+    def is_ln(k: str) -> bool:
+        return (
+            k.startswith("ln")
+            or k in ("norm", "norm1", "norm2", "patch_norm")
+            or k.startswith("norm_")  # peft adapter norm_scale/norm_bias
+            or k.startswith("adapter_norm")
+        )
+
+    def leaf_mask(kp, leaf):
+        keys = _path_keys(kp)
+        last = keys[-1] if keys else ""
+        if timm_filter and getattr(leaf, "ndim", 2) <= 1:
+            return 0.0
+        if "ln" in rules and any(is_ln(k) for k in keys):
+            return 0.0
+        if "bn" in rules and any(k.startswith("bn") for k in keys):
+            return 0.0
+        if "bias" in rules and last in ("bias", "norm_bias"):
+            return 0.0
+        return 1.0
+
+    mask = jax.tree_util.tree_map_with_path(leaf_mask, params)
+    if all(m == 1.0 for m in jax.tree.leaves(mask)):
+        return None
+    return mask
+
+
 # --- dispatch --------------------------------------------------------------
 
-def make_optimizer(name: str, *, momentum=0.9, nesterov=False, lr_scales=None):
+def make_optimizer(name: str, *, momentum=0.9, nesterov=False, lr_scales=None, wd_mask=None):
     """Return (init_fn, update_fn(grads, params, state, lr, wd)).
 
     ``lr_scales``: optional pytree of per-leaf LR multipliers implementing
     TRAIN.TWO_LR (reference optim/build.py:100-117 — backbone params train at
     0.1x the head LR).
+
+    ``wd_mask``: optional pytree of per-leaf 0/1 weight-decay multipliers
+    implementing TRAIN.WITHOUT_WD_LIST (reference optim/build.py:18-85 puts
+    ln/bn/gn/bias leaves in a wd=0 param group) and the timm
+    filter_bias_and_bn behaviour.  ``wd`` stays a traced scalar so the
+    hyperparameter sweep can still vmap over it: the mask is folded into the
+    gradient (coupled decay) or the decoupled step (adamw), both exactly
+    equivalent to per-group wd=0.
     """
     name = name.lower()
+    if wd_mask is not None:
+        inner_init, inner_upd = make_optimizer(
+            name, momentum=momentum, nesterov=nesterov, lr_scales=lr_scales
+        )
+        if name == "adamw":
+            # decoupled: p -= lr*(adam_step + wd*p)  ==  wd=0 update then
+            # subtracting lr*wd*mask*p_old
+            def upd(g, p, s, lr, wd):
+                new_p, new_s = inner_upd(g, p, s, lr, 0.0)
+                new_p = jax.tree.map(
+                    lambda np_, po, mk: np_ - lr * wd * mk * po, new_p, p, wd_mask
+                )
+                return new_p, new_s
+        else:
+            # coupled: g' = g + wd*mask*p, then a wd=0 update
+            def upd(g, p, s, lr, wd):
+                g2 = jax.tree.map(lambda gl, pl, mk: gl + wd * mk * pl, g, p, wd_mask)
+                return inner_upd(g2, p, s, lr, 0.0)
+
+        return inner_init, upd
     if name == "sgd":
         if lr_scales is not None:
             def upd(g, p, s, lr, wd):

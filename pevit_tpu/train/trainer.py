@@ -72,6 +72,8 @@ class TaskStatic:
     highest_precision: bool = False
     clip_grad_norm: float = 0.0
     two_lr: bool = False
+    without_wd: tuple = ()  # TRAIN.WITHOUT_WD_LIST (optim/build.py:18-85)
+    timm_filter: bool = False  # timm create_optimizer filter_bias_and_bn
     fast_ln: bool = False
     merge_encoder_head_proj: bool = False
     feat_dim: int = 0  # 0 => spec.embed_dim (classifier-head input width)
@@ -90,6 +92,7 @@ class TaskStatic:
 
     @staticmethod
     def from_config(config, spec: CLIPSpec, peft_cfg: PeftConfig, feat_dim: int = 0) -> "TaskStatic":
+        opt_name, opt_momentum, opt_nesterov, opt_timm_filter = _resolve_optimizer(config)
         return TaskStatic(
             spec=spec,
             peft_cfg=peft_cfg,
@@ -103,9 +106,11 @@ class TaskStatic:
             compute_dtype="float32" if (config.TPU.PARITY_FP32 or config.MODEL.CLIP_FP32) else config.TPU.COMPUTE_DTYPE,
             remat={False: "none", True: "full"}.get(config.TPU.REMAT, str(config.TPU.REMAT)),
             use_pallas=config.TPU.USE_PALLAS_ATTENTION,
-            optimizer=config.TRAIN.OPTIMIZER,
-            momentum=config.TRAIN.MOMENTUM,
-            nesterov=config.TRAIN.NESTEROV,
+            optimizer=opt_name,
+            momentum=opt_momentum,
+            nesterov=opt_nesterov,
+            without_wd=tuple(config.TRAIN.WITHOUT_WD_LIST or ()),
+            timm_filter=opt_timm_filter,
             emulate_zero_shot=config.TRAIN.EMULATE_ZERO_SHOT,
             highest_precision=config.TPU.PARITY_FP32,
             clip_grad_norm=config.TRAIN.CLIP_GRAD_NORM,
@@ -114,6 +119,39 @@ class TaskStatic:
             merge_encoder_head_proj=config.TRAIN.MERGE_ENCODER_AND_HEAD_PROJ,
             feat_dim=feat_dim,
         )
+
+
+def _resolve_optimizer(config) -> tuple:
+    """(name, momentum, nesterov, timm_filter) from TRAIN.OPTIMIZER.
+
+    TRAIN.OPTIMIZER='timm' routes through TRAIN.OPTIMIZER_ARGS the way the
+    reference hands the args namespace to timm.create_optimizer
+    (optim/build.py:89-95; lr is taken from TRAIN.LR — config/default.py:267).
+    timm semantics honoured: 'sgd'/'nesterov' enable Nesterov momentum,
+    'momentum' is plain SGD, and filter_bias_and_bn defaults on (no decay for
+    rank<=1 params).
+    """
+    name = str(config.TRAIN.OPTIMIZER).lower()
+    if name != "timm":
+        return name, config.TRAIN.MOMENTUM, config.TRAIN.NESTEROV, False
+    args = dict(config.TRAIN.OPTIMIZER_ARGS or {})
+    args = {str(k).lower(): v for k, v in args.items()}
+    opt = str(args.get("opt", "sgd")).lower()
+    momentum = float(args.get("momentum", config.TRAIN.MOMENTUM))
+    table = {
+        "sgd": ("sgd", True),
+        "nesterov": ("sgd", True),
+        "momentum": ("sgd", False),
+        "adam": ("adam", False),
+        "adamw": ("adamw", False),
+        "rmsprop": ("rmsprop", False),
+        "rmsproptf": ("rmsprop", False),
+    }
+    if opt not in table:
+        raise ValueError(f"Unsupported timm optimizer: {opt!r}")
+    mapped, nesterov = table[opt]
+    filter_bn = bool(args.get("filter_bias_and_bn", True))
+    return mapped, momentum, nesterov, filter_bn
 
 
 def trainable_pred(static: TaskStatic):
@@ -235,7 +273,7 @@ def _loss(static: TaskStatic, logits, labels, mask):
 # Jitted epoch / eval builders
 # ---------------------------------------------------------------------------
 
-def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=None, forward_fn=None):
+def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=None, forward_fn=None, wd_mask=None):
     """One full training epoch as a single XLA computation.
 
     Returns ``epoch(frozen, images, labels, state, lr, wd) -> state``
@@ -250,6 +288,7 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
         momentum=static.momentum,
         nesterov=static.nesterov,
         lr_scales=lr_scales,
+        wd_mask=wd_mask,
     )
     from .optim import clip_grad_norm as _clip
 
@@ -297,7 +336,7 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
     return epoch
 
 
-def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict, lr_scales=None, forward_fn=None):
+def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict, lr_scales=None, forward_fn=None, wd_mask=None):
     """``n_epochs`` of training as ONE XLA computation (one device dispatch).
 
     On this TPU's high-latency link, per-epoch dispatch costs real time; the
@@ -305,7 +344,7 @@ def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict,
     per-epoch LR comes from a precomputed ``lr_table`` argument (step-decay
     schedule resolved on host), preserving reference semantics.
     """
-    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn)
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn, wd_mask)
 
     def fit(frozen, images, labels, state, lr_table, wd):
         def body(e, state):
@@ -340,6 +379,7 @@ def build_fit_eval_fn(
     n_val_chunks: int,
     lr_scales=None,
     forward_fn=None,
+    wd_mask=None,
 ):
     """Train ``n_epochs`` AND evaluate after every epoch, in ONE dispatch.
 
@@ -352,7 +392,7 @@ def build_fit_eval_fn(
 
     ``val_images`` must arrive padded to ``n_val_chunks * eval_chunk``.
     """
-    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn)
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn, wd_mask)
 
     def fit_eval(frozen, images, labels, val_images, state, lr_table, wd):
         def eval_all(trainable, bn_state):
@@ -544,10 +584,20 @@ class TrainTask:
 
         return jax.tree_util.tree_map_with_path(scale, trainable)
 
+    def _wd_mask(self):
+        """TRAIN.WITHOUT_WD_LIST / timm filter_bias_and_bn per-leaf wd
+        multipliers (reference optim/build.py:18-85)."""
+        if not self.static.without_wd and not self.static.timm_filter:
+            return None
+        from .optim import build_wd_mask
+
+        trainable, _, _ = self.init_bundle(jax.random.PRNGKey(0))
+        return build_wd_mask(trainable, self.static.without_wd, timm_filter=self.static.timm_filter)
+
     def _epoch_fn(self, n_train: int, n_trials: int):
         key = (n_train, n_trials)
         if key not in self._epoch_cache:
-            epoch = build_epoch_fn(self.static, n_train, self.preproc, self._lr_scales(), self._forward_fn)
+            epoch = build_epoch_fn(self.static, n_train, self.preproc, self._lr_scales(), self._forward_fn, self._wd_mask())
             batched = jax.vmap(epoch, in_axes=(None, None, None, 0, 0, 0))
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(3,))
         return self._epoch_cache[key]
@@ -564,6 +614,7 @@ class TrainTask:
                 n_val_chunks=n_val_chunks,
                 lr_scales=self._lr_scales(),
                 forward_fn=self._forward_fn,
+                wd_mask=self._wd_mask(),
             )
             batched = jax.vmap(fe, in_axes=(None, None, None, None, 0, 0, 0))
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(4,))
