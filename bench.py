@@ -1,16 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: KAdaptation ViT-B/32 training throughput (images/sec/chip).
+"""Benchmark: KAdaptation ViT-B/32 + ViT-B/16 training throughput (img/s/chip).
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "baseline_basis": "...", "b16_value": N, "b16_vs_baseline": N}
 
-The reference publishes no throughput numbers (SURVEY.md §6); the baseline
-constant below is an engineering estimate of the reference's torch fp32
-KAdaptation train-step throughput on its published hardware (NVIDIA A6000,
-CUDA 11.4): ViT-B/32 fwd+bwd ~13 GFLOPs/img plus the eager-mode kron/dropout
-overhead of the custom attention (model.py:563-584,786-817) puts it in the
-600-900 img/s band; we use 800 img/s.  The BASELINE.md target is >=3x this
-per chip.
+``vs_baseline`` is computed against an ESTIMATED baseline (see
+``baseline_basis`` in the output): the reference publishes no throughput
+numbers (SURVEY.md §6), so the constant below is an engineering estimate of
+the reference's torch fp32 KAdaptation train-step rate on its published
+hardware (NVIDIA A6000, CUDA 11.4) — ViT-B/32 fwd+bwd ~13 GFLOPs/img plus
+eager-mode kron/dropout overhead of the custom attention
+(model.py:563-584,786-817) puts it in the 600-900 img/s band; we use 800.
+``--measure-torch-cpu`` instead times the reference's actual eager module on
+this host's CPU (slow; for calibration, not the driver run).
 
 Measures the cached whole-epoch jit (train step only, eval excluded) on
 synthetic data — throughput is weight-independent.
@@ -20,16 +23,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 A6000_BASELINE_IMGS_PER_SEC = {"b32": 800.0, "b16": 200.0}  # b16 ~ 4x FLOPs of b32
+BASELINE_BASIS = (
+    "estimate: reference publishes no throughput (SURVEY.md §6); baseline is "
+    "an A6000 fp32 eager-torch engineering estimate (B/32 800 img/s, B/16 200)"
+)
 
 
 def main():
     try:
         _main()
     except Exception as e:  # the relay TPU occasionally wedges; one retry
-        import sys, traceback
+        import traceback
 
         traceback.print_exc(file=sys.stderr)
         print(f"bench attempt failed ({type(e).__name__}); retrying once...", file=sys.stderr)
@@ -37,24 +45,9 @@ def main():
         _main()
 
 
-def _main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--n-train", type=int, default=1024)
-    ap.add_argument("--epochs", type=int, default=8)  # ~3s of device time: averages out relay jitter
-    ap.add_argument("--method", type=str, default="kadaptation")
-    ap.add_argument("--model", type=str, default="b32", choices=["b32", "b16"])
-    ap.add_argument("--no-pallas", action="store_true")
-    ap.add_argument("--dtype", type=str, default="bfloat16")
-    args = ap.parse_args()
-    if args.model == "b16" and args.batch > 64:
-        args.batch = 32  # best measured operating point for ViT-B/16
-
+def _measure(args, model: str) -> float:
+    """images/sec for one model size ('b32' | 'b16')."""
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
     import jax.numpy as jnp
     import numpy as np
 
@@ -65,14 +58,18 @@ def _main():
     from pevit_tpu.train.optim import make_optimizer
     from pevit_tpu.train.trainer import build_fit_fn
 
+    batch = args.batch
+    if model == "b16" and batch > 64:
+        batch = 32  # best measured operating point for ViT-B/16
+
     cfg = get_default_config()
     cfg.DATASET.NUM_CLASSES = 100
-    cfg.TRAIN.BATCH_SIZE_PER_GPU = args.batch
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = batch
     cfg.TEST.METRIC = "accuracy"
     cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
 
-    spec = CLIPSpec.vit_b16() if args.model == "b16" else CLIPSpec.vit_b32()
+    spec = CLIPSpec.vit_b16() if model == "b16" else CLIPSpec.vit_b32()
     clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
     static = TaskStatic.from_config(cfg, spec, PeftConfig(method=args.method))
     task = TrainTask(cfg, static, clip_params)
@@ -99,19 +96,82 @@ def _main():
     # force a REAL sync on this relay backend: fetch a value to host
     float(jax.tree.leaves(state[0])[0].ravel()[0])
     dt = time.perf_counter() - t0
+    return args.epochs * n / dt, batch
 
-    imgs_per_sec = args.epochs * n / dt
-    model_name = "ViT-B/16" if args.model == "b16" else "ViT-B/32"
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.method} {model_name} train throughput (batch {args.batch}, {args.dtype})",
-                "value": round(imgs_per_sec, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / A6000_BASELINE_IMGS_PER_SEC[args.model], 3),
-            }
-        )
-    )
+
+def _measure_torch_cpu(args) -> None:
+    """Time the REFERENCE's actual eager KAdaptation module on this CPU.
+
+    Calibration aid only (1 CPU core here; an A6000 is a different beast) —
+    gives a measured torch datapoint instead of the estimate.
+    """
+    import importlib
+    import types
+
+    import numpy as np
+    import torch
+
+    pkg = types.ModuleType("_ref_eval_bench")
+    pkg.__path__ = ["/root/reference/vision_benchmark/evaluation"]
+    sys.modules[pkg.__name__] = pkg
+    ref = importlib.import_module("_ref_eval_bench.model")
+    torch.manual_seed(0)
+    vt = ref.VisionTransformer(224, 32, 768, 12, 12, 512)
+    head = torch.nn.Linear(512, 100)
+    opt = torch.optim.SGD(list(head.parameters()), lr=0.01)
+    x = torch.from_numpy(np.random.default_rng(0).standard_normal((8, 3, 224, 224)).astype(np.float32))
+    y = torch.randint(0, 100, (8,))
+    steps = 3
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = head(vt(x))
+        loss = torch.nn.functional.cross_entropy(out, y)
+        opt.zero_grad(); loss.backward(); opt.step()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "REFERENCE torch eager KAdaptation B/32 train step (this host CPU)",
+        "value": round(steps * 8 / dt, 2),
+        "unit": "images/sec",
+        "baseline_basis": "measured: reference model.py VisionTransformer fwd+bwd, eager fp32, 1-core CPU",
+    }))
+
+
+def _main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--n-train", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=8)  # ~3s of device time: averages out relay jitter
+    ap.add_argument("--method", type=str, default="kadaptation")
+    ap.add_argument("--model", type=str, default="both", choices=["b32", "b16", "both"])
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--measure-torch-cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.measure_torch_cpu:
+        _measure_torch_cpu(args)
+        return
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    primary = "b16" if args.model == "b16" else "b32"
+    rate, batch = _measure(args, primary)
+    model_name = "ViT-B/16" if primary == "b16" else "ViT-B/32"
+    out = {
+        "metric": f"{args.method} {model_name} train throughput (batch {batch}, {args.dtype})",
+        "value": round(rate, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(rate / A6000_BASELINE_IMGS_PER_SEC[primary], 3),
+        "baseline_basis": BASELINE_BASIS,
+    }
+    if args.model == "both":
+        rate16, _ = _measure(args, "b16")
+        out["b16_value"] = round(rate16, 1)
+        out["b16_vs_baseline"] = round(rate16 / A6000_BASELINE_IMGS_PER_SEC["b16"], 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
