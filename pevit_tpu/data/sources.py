@@ -63,6 +63,107 @@ def _load_npz(root: Path, split: str) -> Optional[ArrayDataset]:
     return ArrayDataset(z["images"], z["labels"])
 
 
+# ---------------------------------------------------------------------------
+# sharded decode cache: full-shot datasets (hundreds of thousands of images)
+# take hours to decode on this 1-core host — the decode must be a RESUMABLE
+# one-time cost.  Shards of _DECODE_SHARD_SIZE entries are written as they
+# complete (``{split}.shardNNNNN.npz`` + a ``{split}.cache.json`` index);
+# an interrupted run picks up at the first undecoded entry.  After the full
+# decode, load_split consolidates into the single-file ``{split}.npz`` fast
+# path and removes the shards.  tools/prepare_dataset.py drives this offline.
+# ---------------------------------------------------------------------------
+
+_DECODE_SHARD_SIZE = 2048
+
+
+def _load_shard_cache(root: Path, split: str) -> Optional[ArrayDataset]:
+    idx_f = root / f"{split}.cache.json"
+    if not idx_f.exists():
+        return None
+    try:
+        meta = json.loads(idx_f.read_text())
+    except (json.JSONDecodeError, OSError):
+        return None
+    if not meta.get("complete"):
+        return None
+    xs, ys = [], []
+    for i in range(meta["n_shards"]):
+        z = np.load(root / f"{split}.shard{i:05d}.npz")
+        if len(z["labels"]):
+            xs.append(z["images"])
+            ys.append(z["labels"])
+    if not xs:
+        return None
+    return ArrayDataset(np.concatenate(xs), np.concatenate(ys))
+
+
+def _decode_with_shard_cache(root: Path, split: str, image_size: int, entries, decode_one):
+    """Decode ``entries`` through ``decode_one(entry) -> (img|None, label)``
+    with per-shard incremental caching, progress + ETA logging, and resume."""
+    import time
+
+    root.mkdir(parents=True, exist_ok=True)
+    idx_f = root / f"{split}.cache.json"
+    S = _DECODE_SHARD_SIZE
+    meta = {"complete": False, "n_shards": 0, "entries_done": 0,
+            "image_size": image_size, "shard_size": S, "total": len(entries)}
+    if idx_f.exists():
+        try:
+            m = json.loads(idx_f.read_text())
+            if (m.get("image_size"), m.get("shard_size"), m.get("total")) == (image_size, S, len(entries)):
+                meta = m
+        except (json.JSONDecodeError, OSError):
+            pass
+    if meta.get("complete"):
+        return _load_shard_cache(root, split)
+
+    start = meta["entries_done"]
+    if start:
+        logging.info("%s: resuming decode at entry %d/%d (%d shards cached)",
+                     split, start, len(entries), meta["n_shards"])
+    t0 = time.time()
+    pos = start
+    while pos < len(entries):
+        chunk = entries[pos : pos + S]
+        xs, ys = [], []
+        for e in chunk:
+            img, label = decode_one(e)
+            if img is not None:
+                xs.append(img)
+                ys.append(label)
+        shard_i = meta["n_shards"]
+        np.savez_compressed(
+            root / f"{split}.shard{shard_i:05d}.npz",
+            images=np.stack(xs) if xs else np.zeros((0, image_size, image_size, 3), np.uint8),
+            labels=np.asarray(ys) if ys else np.zeros((0,), np.int64),
+        )
+        pos += len(chunk)
+        meta["n_shards"] = shard_i + 1
+        meta["entries_done"] = pos
+        idx_f.write_text(json.dumps(meta))
+        rate = (pos - start) / max(time.time() - t0, 1e-9)
+        logging.info("decode %s: %d/%d entries (shard %d done, %.1f img/s, ETA %.0fs)",
+                     split, pos, len(entries), shard_i, rate,
+                     (len(entries) - pos) / max(rate, 1e-9))
+    meta["complete"] = True
+    idx_f.write_text(json.dumps(meta))
+    return _load_shard_cache(root, split)
+
+
+def _drop_shard_cache(root: Path, split: str) -> None:
+    """Remove shard files once the consolidated {split}.npz exists."""
+    idx_f = root / f"{split}.cache.json"
+    if not idx_f.exists():
+        return
+    try:
+        meta = json.loads(idx_f.read_text())
+        for i in range(meta.get("n_shards", 0)):
+            (root / f"{split}.shard{i:05d}.npz").unlink(missing_ok=True)
+        idx_f.unlink(missing_ok=True)
+    except (json.JSONDecodeError, OSError):
+        pass
+
+
 _CIFAR10_FILES = {
     "train": [f"data_batch_{i}" for i in range(1, 6)],
     "test": ["test_batch"],
@@ -104,20 +205,24 @@ def _load_imagefolder(root: Path, split: str, image_size: int) -> Optional[Array
         return None
     from PIL import Image
 
-    xs, ys = [], []
+    entries = []
     for ci, cname in enumerate(classes):
         for f in sorted((d / cname).iterdir()):
-            if f.suffix.lower() not in (".jpg", ".jpeg", ".png", ".bmp", ".webp"):
-                continue
-            try:
-                with Image.open(f) as im:
-                    xs.append(resize_center_crop(im, image_size))
-                ys.append(ci)
-            except Exception as e:  # corrupt images tolerated (feature.py:47-49)
-                logging.warning("skipping corrupt image %s: %s", f, e)
-    if not xs:
+            if f.suffix.lower() in (".jpg", ".jpeg", ".png", ".bmp", ".webp"):
+                entries.append((f, ci))
+    if not entries:
         return None
-    return ArrayDataset(np.stack(xs), np.asarray(ys, np.int64))
+
+    def decode_one(entry):
+        f, ci = entry
+        try:
+            with Image.open(f) as im:
+                return resize_center_crop(im, image_size), np.int64(ci)
+        except Exception as e:  # corrupt images tolerated (feature.py:47-49)
+            logging.warning("skipping corrupt image %s: %s", f, e)
+            return None, None
+
+    return _decode_with_shard_cache(root, split, image_size, entries, decode_one)
 
 
 def _load_manifest(root: Path, split: str, image_size: int, num_classes: int) -> Optional[ArrayDataset]:
@@ -127,21 +232,20 @@ def _load_manifest(root: Path, split: str, image_size: int, num_classes: int) ->
     manifest = json.loads(f.read_text())
     from PIL import Image
 
-    xs, ys = [], []
-    multilabel = any(isinstance(e.get("labels"), list) and len(e["labels"]) != 1 for e in manifest["images"])
-    for e in manifest["images"]:
-        p = root / e["path"]
-        with Image.open(p) as im:
-            xs.append(resize_center_crop(im, image_size))
+    entries = manifest["images"]
+    multilabel = any(isinstance(e.get("labels"), list) and len(e["labels"]) != 1 for e in entries)
+
+    def decode_one(e):
+        with Image.open(root / e["path"]) as im:
+            img = resize_center_crop(im, image_size)
         labels = e["labels"] if isinstance(e["labels"], list) else [e["labels"]]
         if multilabel:
             vec = np.zeros(num_classes, np.float32)
             vec[np.asarray(labels, int)] = 1.0
-            ys.append(vec)
-        else:
-            ys.append(int(labels[0]))
-    labels = np.stack(ys) if multilabel else np.asarray(ys, np.int64)
-    return ArrayDataset(np.stack(xs), labels)
+            return img, vec
+        return img, np.int64(labels[0])
+
+    return _decode_with_shard_cache(root, split, image_size, entries, decode_one)
 
 
 def _synthetic(name: str, split: str, image_size: int, num_classes: int) -> ArrayDataset:
@@ -196,6 +300,8 @@ def load_split(
 ) -> ArrayDataset:
     rootp = Path(root) if root else Path(".")
     ds = _load_npz(rootp, split)
+    if ds is None:
+        ds = _load_shard_cache(rootp, split)  # completed decode, unconsolidated
     if ds is None and name.startswith("cifar"):
         ds = _load_cifar(rootp, split, image_size)
     if ds is None:
@@ -211,6 +317,7 @@ def load_split(
         try:
             rootp.mkdir(parents=True, exist_ok=True)
             np.savez_compressed(rootp / f"{split}.npz", images=ds.images, labels=ds.labels)
+            _drop_shard_cache(rootp, split)  # shards superseded by the npz
         except OSError:
             pass
     return ds

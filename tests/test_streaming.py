@@ -1,5 +1,6 @@
 """Streaming (host-resident) training path == preloaded path."""
 
+import json
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -58,3 +59,76 @@ def test_streaming_path_learns_and_matches_quality():
     # shuffle orders differ between the paths (numpy vs jax PRNG), so scores
     # aren't identical on a 40-image task; both must clearly learn
     assert res2[0]["best_score"] > 50.0, res2
+
+
+def test_sharded_decode_cache_resume_and_consolidation(tmp_path, monkeypatch, caplog):
+    """decode -> shard cache -> RESUME -> consolidated npz (tools CLI path).
+
+    Covers the full-shot host pipeline contract: an interrupted decode loses
+    at most one shard of work, a re-run resumes (not restarts), and the
+    finished dataset consolidates into the single {split}.npz fast path with
+    shards removed."""
+    import logging as _logging
+    from PIL import Image
+
+    from pevit_tpu.data import sources
+
+    monkeypatch.setattr(sources, "_DECODE_SHARD_SIZE", 8)
+
+    root = tmp_path / "ds"
+    n_per_class = 10
+    for ci, cname in enumerate(["alpha", "beta"]):
+        d = root / "train" / cname
+        d.mkdir(parents=True)
+        for i in range(n_per_class):
+            arr = np.full((40, 40, 3), 40 + 90 * ci + i, np.uint8)
+            Image.fromarray(arr).save(d / f"img{i:03d}.png")
+    # one corrupt file: tolerated with a warning (feature.py:47-49 parity)
+    (root / "train" / "alpha" / "img000.png").write_bytes(b"not a png")
+
+    # interrupt after the first shard persists: simulate ctrl-C mid-decode
+    calls = {"n": 0}
+    real_savez = sources.np.savez_compressed
+
+    def bomb(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt
+        return real_savez(*a, **k)
+
+    monkeypatch.setattr(sources.np, "savez_compressed", bomb)
+    try:
+        sources.load_split("local", str(root), "train", image_size=32, cache=True)
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(sources.np, "savez_compressed", real_savez)
+    idx = json.loads((root / "train.cache.json").read_text())
+    assert idx["entries_done"] == 8 and idx["n_shards"] == 1  # one shard survived
+
+    # resume: must NOT restart from entry 0
+    with caplog.at_level(_logging.INFO):
+        ds = sources.load_split("local", str(root), "train", image_size=32, cache=True)
+    assert len(ds) == 2 * n_per_class - 1  # corrupt file skipped
+    assert ds.images.shape[1:] == (32, 32, 3)
+    assert sorted(np.unique(ds.labels)) == [0, 1]
+
+    # consolidated fast path written, shards cleaned up
+    assert (root / "train.npz").exists()
+    assert not list(root.glob("train.shard*.npz"))
+    assert not (root / "train.cache.json").exists()
+
+    # second load hits the npz (no decode)
+    ds2 = sources.load_split("local", str(root), "train", image_size=32, cache=True)
+    np.testing.assert_array_equal(ds.labels, ds2.labels)
+
+    # the tools CLI drives the same path end to end
+    from tools.prepare_dataset import main as prep_main
+
+    root2 = tmp_path / "ds2"
+    for ci, cname in enumerate(["a", "b"]):
+        d = root2 / "test" / cname
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(np.full((16, 16, 3), 50 + 100 * ci, np.uint8)).save(d / f"{i}.png")
+    prep_main(["--root", str(root2), "--splits", "test", "--image-size", "16"])
+    assert (root2 / "test.npz").exists()
