@@ -210,6 +210,40 @@ def _lean_bwd(res, g):
 xla_attention_lean.defvjp(_lean_fwd, _lean_bwd)
 
 
+@jax.custom_vjp
+def xla_attention_lean_bhnd(q, k, v):
+    """Lean-VJP attention on (B, H, N, hd) tensors — adjacent LEADING batch
+    dims in every dot_general, so TPU lowering needs no operand relayout
+    (the (B, N, H, hd) formulation profiled ~350 ms/dispatch of bf16
+    {0,3,2,1}->{3,1,2,0} copies around the attention einsums at ViT-B/32
+    batch 128).  Same probs-saved-once backward as xla_attention_lean."""
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+
+def _lean_bhnd_fwd(q, k, v):
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    return out, (q, k, v, p)
+
+
+def _lean_bhnd_bwd(res, g):
+    q, k, v, p = res
+    g32 = g.astype(jnp.float32)
+    p32 = p.astype(jnp.float32)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p32, g32).astype(v.dtype)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", g32, v.astype(jnp.float32))
+    ds = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k.astype(jnp.float32)).astype(q.dtype)
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q.astype(jnp.float32)).astype(k.dtype)
+    return dq, dk, dv
+
+
+xla_attention_lean_bhnd.defvjp(_lean_bhnd_fwd, _lean_bhnd_bwd)
+
+
 def attention_core(
     q, k, v, *, use_pallas: bool = False, remat_probs: bool = False, interpret: bool = False
 ):

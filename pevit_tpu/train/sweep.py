@@ -72,7 +72,8 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
     lrs = np.logspace(-6, -1, num=6).tolist()
     grid, init_idx = wd_grid(config)
     end_epoch = config.TRAIN.END_EPOCH
-    max_parallel = max(1, config.TPU.SWEEP_PARALLEL_TRIALS)
+    # per-device cap x trial-mesh width (trials shard across devices as SPMD)
+    max_parallel = task.max_parallel_trials()
     wd_search_left = config.TRAIN.WD_SEARCH_LEFT
 
     # per-LR walk state

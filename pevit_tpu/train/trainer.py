@@ -594,6 +594,30 @@ class TrainTask:
         trainable, _, _ = self.init_bundle(jax.random.PRNGKey(0))
         return build_wd_mask(trainable, self.static.without_wd, timm_filter=self.static.timm_filter)
 
+    def _trial_mesh(self, n_trials: int):
+        """1-axis 'trial' mesh when several devices can each take whole
+        trials; None on a single device / indivisible counts / disabled."""
+        if not bool(self.config.TPU.get("SWEEP_TRIALS_OVER_MESH", True)):
+            return None
+        devs = jax.devices()
+        n = min(len(devs), n_trials)
+        while n > 1 and n_trials % n:
+            n -= 1
+        if n <= 1:
+            return None
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(devs[:n]), ("trial",))
+
+    def max_parallel_trials(self) -> int:
+        """Per-dispatch trial budget: SWEEP_PARALLEL_TRIALS per device times
+        the trial-mesh width (the remote-compiler program-size ceiling that
+        motivates the cap is per-device under SPMD)."""
+        per_dev = max(1, self.config.TPU.SWEEP_PARALLEL_TRIALS)
+        if not bool(self.config.TPU.get("SWEEP_TRIALS_OVER_MESH", True)):
+            return per_dev
+        return per_dev * max(1, len(jax.devices()))
+
     def _epoch_fn(self, n_train: int, n_trials: int):
         key = (n_train, n_trials)
         if key not in self._epoch_cache:
@@ -805,6 +829,28 @@ class TrainTask:
             ],
             jnp.float32,
         )
+
+        # --- trial-parallel mesh -------------------------------------------
+        # HP-sweep trials are data-independent, so the vmapped trial axis
+        # shards across devices as pure SPMD (no collectives): N chips run N
+        # sweep trials concurrently.  The reference runs its ~90 trainings
+        # strictly sequentially on one GPU (kadaptation_clip.py:188-243).
+        mesh = self._trial_mesh(T)
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            trial_sh = NamedSharding(mesh, P("trial"))
+            repl = NamedSharding(mesh, P())
+            put = lambda sh: (lambda x: jax.device_put(x, sh))
+            state = jax.tree.map(put(trial_sh), state)
+            lr_tables = jax.device_put(lr_tables, trial_sh)
+            wds = jax.device_put(jnp.asarray(wds), trial_sh)
+            frozen = jax.tree.map(put(repl), frozen)
+            train_images = jax.device_put(train_images, repl)
+            train_labels = jax.device_put(train_labels, repl)
+            val_padded = jax.device_put(val_padded, repl)
+            logging.info("trial mesh: %d trials over %d devices", T, mesh.devices.size)
 
         # the ENTIRE (train -> per-epoch eval) ladder for all trials runs as
         # one device dispatch; metric/selection happens on host afterwards

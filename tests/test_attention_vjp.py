@@ -88,3 +88,38 @@ def test_quick_gelu_grads_match_autodiff():
     g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(raw(x))))(x)
     g_got = jax.grad(lambda x: jnp.sum(jnp.sin(quick_gelu(x))))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_bhnd_layout_matches_bnhd_fwd_and_grad():
+    """Opt-in head-major attention layout (set_attn_layout) is numerically
+    the same computation — forward and grads — as the default layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from pevit_tpu.core import layers
+    from pevit_tpu.core.clip import CLIPSpec, TextSpec, VisionSpec, encode_image, init_clip_params
+
+    spec = CLIPSpec(
+        embed_dim=32,
+        vision=VisionSpec(input_resolution=32, patch_size=16, width=64, layers=2, heads=2, output_dim=32),
+        text=TextSpec(context_length=8, vocab_size=64, width=32, heads=2, layers=2, output_dim=32),
+    )
+    params = init_clip_params(jax.random.PRNGKey(0), spec)
+    # non-zero in_proj bias: exercises the (3,1,H,1,hd) bias broadcast
+    params["visual"]["blocks"]["attn"]["in_proj"]["bias"] = 0.3 * jax.random.normal(
+        jax.random.PRNGKey(9), params["visual"]["blocks"]["attn"]["in_proj"]["bias"].shape
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 32, 32, 3))
+
+    def loss(p, layout):
+        layers.set_attn_layout(layout)
+        try:
+            return (encode_image(p, x, spec=spec) ** 2).sum()
+        finally:
+            layers.set_attn_layout("bnhd")
+
+    f_a, g_a = jax.value_and_grad(lambda p: loss(p, "bnhd"))(params)
+    f_b, g_b = jax.value_and_grad(lambda p: loss(p, "bhnd"))(params)
+    assert abs(float(f_a) - float(f_b)) < 1e-3 * abs(float(f_a))
+    for u, v in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=2e-3, atol=2e-4)

@@ -106,3 +106,71 @@ def test_vmapped_trials_on_mesh():
             [(0.01, 1e-4), (0.001, 1e-2)], images, labels, images, labels, end_epoch=2, seed=0
         )
     assert all(np.isfinite(r["best_score"]) for r in res)
+
+
+def test_trial_parallel_sweep_matches_single_device():
+    """8 sweep trials sharded over the 8-device mesh == unsharded trials.
+
+    Trials are data-independent, so the trial axis shards as pure SPMD
+    (no collectives) — N chips run N of the reference's sequential sweep
+    trainings concurrently (kadaptation_clip.py:188-243)."""
+    cfg = get_default_config()
+    cfg.DATASET.NUM_CLASSES = 4
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
+    cfg.TEST.METRIC = "accuracy"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.REMAT = False
+    cfg.TPU.USE_PALLAS_ATTENTION = False
+
+    tiny = CLIPSpec(
+        embed_dim=32,
+        vision=VisionSpec(input_resolution=32, patch_size=16, width=64, layers=2, heads=2, output_dim=32),
+        text=TextSpec(context_length=8, vocab_size=64, width=32, heads=2, layers=2, output_dim=32),
+    )
+    clip_params = init_clip_params(jax.random.PRNGKey(0), tiny)
+    static = TaskStatic.from_config(cfg, tiny, PeftConfig(method="lora"))
+
+    rng = np.random.default_rng(0)
+    base = np.array([[220, 40, 40], [40, 220, 40], [40, 40, 220], [200, 200, 40]], np.float32)
+    ty = rng.integers(0, 4, 48)
+    tx = np.clip(base[ty][:, None, None, :] + rng.normal(0, 25, (48, 32, 32, 3)), 0, 255).astype(np.uint8)
+    vy = rng.integers(0, 4, 16)
+    vx = np.clip(base[vy][:, None, None, :] + rng.normal(0, 25, (16, 32, 32, 3)), 0, 255).astype(np.uint8)
+
+    hparams = [(10 ** e, 10 ** w) for e, w in
+               [(-2, -4), (-3, -2), (-2, -5), (-2, -2), (-4, -3), (-3, -4), (-2, -3), (-3, -5)]]
+
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual CPU devices"
+
+    # ONE epoch: sharded == unsharded to float tolerance.  (Partitioning
+    # changes per-device GEMM shapes — 8-trial batched vs 1-trial — giving
+    # ~1e-5 fp32 diffs that longer chaotic tiny-model training amplifies;
+    # that nondeterminism is inherent, same as the reference's CUDA runs.)
+    cfg.TPU.SWEEP_TRIALS_OVER_MESH = True
+    task_mesh = TrainTask(cfg, static, clip_params, eval_chunk=16)
+    assert task_mesh.max_parallel_trials() == cfg.TPU.SWEEP_PARALLEL_TRIALS * len(jax.devices())
+    res_mesh = task_mesh.train_trials(hparams, tx, ty, jnp.asarray(vx), jnp.asarray(vy),
+                                      end_epoch=1, seed=0, keep_logits=True)
+    trained_mesh = jax.tree.map(np.asarray, task_mesh._last_state[0])
+
+    cfg.TPU.SWEEP_TRIALS_OVER_MESH = False
+    task_one = TrainTask(cfg, static, clip_params, eval_chunk=16)
+    assert task_one.max_parallel_trials() == cfg.TPU.SWEEP_PARALLEL_TRIALS
+    res_one = task_one.train_trials(hparams, tx, ty, jnp.asarray(vx), jnp.asarray(vy),
+                                    end_epoch=1, seed=0, keep_logits=True)
+    trained_one = jax.tree.map(np.asarray, task_one._last_state[0])
+
+    for t, (a, b) in enumerate(zip(res_mesh, res_one)):
+        assert a["best_score"] == pytest.approx(b["best_score"], abs=1e-3), (t, a, b)
+        np.testing.assert_allclose(a["best_logits"], b["best_logits"], atol=2e-3,
+                                   err_msg=f"trial {t} probs diverge under trial sharding")
+    for am, ao in zip(jax.tree.leaves(trained_mesh), jax.tree.leaves(trained_one)):
+        np.testing.assert_allclose(am, ao, atol=1e-3)
+
+    # multi-epoch sharded run: executes and stays finite (quality covered by
+    # the 1-epoch equivalence above)
+    cfg.TPU.SWEEP_TRIALS_OVER_MESH = True
+    task3 = TrainTask(cfg, static, clip_params, eval_chunk=16)
+    res3 = task3.train_trials(hparams[:8], tx, ty, jnp.asarray(vx), jnp.asarray(vy),
+                              end_epoch=3, seed=0)
+    assert all(np.isfinite(r["best_score"]) for r in res3)

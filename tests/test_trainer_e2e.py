@@ -71,12 +71,17 @@ def test_vmapped_trials_match_sequential():
     val_x, val_y = synth_data(4, seed=3)
     hparams = [(0.01, 1e-4), (0.001, 1e-2), (0.1, 1e-5)]
 
-    task, _ = make_task("lora")
+    # single-device trial path: trial-mesh sharding changes per-device GEMM
+    # shapes (float-level), which the chaotic lr=0.1 trial amplifies — the
+    # mesh==single equivalence is covered by tests/test_sharding.py
+    task, cfg0 = make_task("lora")
+    cfg0.TPU.SWEEP_TRIALS_OVER_MESH = False
     batched = task.train_trials(hparams, train_x, train_y, val_x, val_y, end_epoch=3, seed=0)
 
     seq_scores = []
     for i, hp in enumerate(hparams):
-        task_i, _ = make_task("lora")
+        task_i, cfg_i = make_task("lora")
+        cfg_i.TPU.SWEEP_TRIALS_OVER_MESH = False
         # single-trial batch; per-trial rngs are derived from (seed, trial_idx)
         # so sequential reproduction must re-run with the same trial layout
         r = task_i.train_trials(
