@@ -55,3 +55,58 @@ def test_submission_validation():
 
     with pytest.raises(ValueError, match="track"):
         validate_submission_dict(dict(good, track="nope"))
+
+
+def test_legacy_model_specs_match_reference():
+    """pevit_tpu/config/models.py keeps the reference's dead-but-public
+    MODEL_SPECS constants (reference config/models.py:8-51) loadable with
+    identical keys and defaults — diffed by AST so the check needs no yacs."""
+    import ast
+    from pathlib import Path
+
+    from pevit_tpu.config.models import HIGH_RESOLUTION_NET, MODEL_SPECS, RESNET, RESNEXT
+
+    ref_path = Path("/root/reference/vision_benchmark/config/models.py")
+    if not ref_path.exists():
+        pytest.skip("reference checkout unavailable")
+
+    env = {}
+
+    def resolve(node):
+        return {} if isinstance(node, ast.Call) else ast.literal_eval(node)
+
+    for stmt in ast.parse(ref_path.read_text()).body:
+        if not isinstance(stmt, ast.Assign):
+            continue
+        tgt = stmt.targets[0]
+        if isinstance(tgt, ast.Name):
+            if isinstance(stmt.value, ast.Dict):
+                env[tgt.id] = {
+                    ast.literal_eval(k): env[v.id]
+                    for k, v in zip(stmt.value.keys, stmt.value.values)
+                }
+            else:
+                env[tgt.id] = resolve(stmt.value)
+        else:  # attribute chain like HIGH_RESOLUTION_NET.STAGE2.NUM_MODULES
+            chain, n = [], tgt
+            while isinstance(n, ast.Attribute):
+                chain.append(n.attr)
+                n = n.value
+            base = env[n.id]
+            for a in reversed(chain[1:]):
+                base = base[a]
+            base[chain[0]] = resolve(stmt.value)
+
+    def flat(d, p=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, p + k + "."))
+            else:
+                out[p + k] = v
+        return out
+
+    assert flat(HIGH_RESOLUTION_NET) == flat(env["HIGH_RESOLUTION_NET"])
+    assert flat(RESNEXT) == flat(env["RESNEXT"])
+    assert flat(RESNET) == flat(env["RESNET"])
+    assert set(MODEL_SPECS) == set(env["MODEL_SPECS"]) == {"cls_hrnet"}
