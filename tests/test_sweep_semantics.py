@@ -20,6 +20,9 @@ class FakeTask:
         self.score_fn = score_fn
         self.calls = []
 
+    def max_parallel_trials(self):
+        return max(1, self.config.TPU.SWEEP_PARALLEL_TRIALS)
+
     def train_trials(self, hparams, *a, end_epoch=None, seed=0, **k):
         self.calls.append(list(hparams))
         return [
