@@ -508,13 +508,15 @@ class TrainTask:
 
             # NOTE: do NOT pin the output layout.  The fit jit re-copies the
             # packed dataset to its preferred layout on entry (~156 ms/
-            # dispatch at B/32) and pinning would avoid that — but forcing
-            # layouts through this backend measured a 30% regression under
-            # one program version and outright runtime failures + 2x
-            # degradation under another (see ARCHITECTURE.md perf notes).
-            # Revisit only with AUTO layout negotiation
-            # (jit(...).lower().compile().input_formats) on a backend that
-            # honours explicit formats reliably.
+            # dispatch at B/32:1024 imgs, 25% of a 2-epoch window's device
+            # time — profiled r2).  Pinning this program's output to the
+            # canonical (0,1,2) layout the fit asks for WORKS mechanically,
+            # but the fit jit keys its compile on argument layouts and the
+            # program XLA builds for a (0,1,2) entry measured 1837 img/s vs
+            # 3225 at B/32:128 (r2 A/B) — the entry copy is cheaper than the
+            # relayouts that version runs per epoch.  See ARCHITECTURE.md
+            # perf notes; AUTO negotiation on the fit side is the remaining
+            # avenue.
             self._prepack_jit = jax.jit(patchify_images, static_argnums=(1,))
         return self._prepack_jit(images, p)
 
