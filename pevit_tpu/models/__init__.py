@@ -1,5 +1,6 @@
 from .declip import DeclipSpec, gathered_contrastive_logits, init_declip_params
 from .factory import Backbone, get_model
+from .nnclr import MemoryBankState, init_memory_bank, nearest_neighbours, nn_replace
 from .swin import SwinSpec, init_swin_params, swin_base, swin_forward, swin_forward_features, swin_tiny
 from .vit import (
     ViTSpec,
@@ -14,6 +15,10 @@ from .vit import (
 __all__ = [
     "Backbone",
     "DeclipSpec",
+    "MemoryBankState",
+    "init_memory_bank",
+    "nearest_neighbours",
+    "nn_replace",
     "SwinSpec",
     "ViTSpec",
     "gathered_contrastive_logits",

@@ -4,8 +4,8 @@ Loads /root/reference/vision_benchmark/evaluation/{model,adapter_model,
 lora_model,compacter_model}.py directly (under a synthetic package so their
 relative imports resolve, without importing the package __init__ which needs
 timm/nltk), instantiates each method's VisionTransformer at tiny width, copies
-the weights into our pytrees, and asserts forward (and for KAdaptation,
-gradient) parity in fp32.
+the weights into our pytrees, and asserts forward AND gradient parity in
+fp32 for all four PEFT methods.
 
 This retires the round-1 risk that the numpy oracles in tests/oracles.py are
 hand-transcriptions — a transcription error would pass its own oracle test
@@ -194,7 +194,7 @@ def test_kadaptation_grad_parity():
 # LoRA — reference lora_model.py:455-514 (params) + :718-733 (application)
 # ---------------------------------------------------------------------------
 
-def test_lora_forward_parity():
+def _build_lora():
     ref = _load_ref("lora_model")
     torch.manual_seed(1)
     vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
@@ -215,18 +215,39 @@ def test_lora_forward_parity():
             "v_b": _stack([a.v_proj_adapter2.weight.T for a in blocks]),
         },
     }
+    return vt, _visual_params(vt, LAYERS), peft
+
+
+def test_lora_forward_parity():
+    vt, params, peft = _build_lora()
     xt, xj = _images()
     with torch.no_grad():
         ref_out = vt(xt)
-    ours = _run_jax(_visual_params(vt, LAYERS), peft, "lora", xj)
+    ours = _run_jax(params, peft, "lora", xj)
     _assert_close(ref_out, ours, "lora encode_image")
+
+
+def test_lora_grad_parity():
+    vt, params, peft = _build_lora()
+    xt, xj = _images()
+    (vt(xt) ** 2).sum().backward()
+    a0 = vt.transformer.resblocks[0].attn
+
+    g = jax.grad(lambda pf: (_run_jax(params, pf, "lora", xj) ** 2).sum())(peft)
+    for ref_grad, ours, what in [
+        (a0.q_proj_adapter1.weight.grad.T, g["layers"]["q_a"][0], "layer0 q_a"),
+        (a0.q_proj_adapter2.weight.grad.T, g["layers"]["q_b"][0], "layer0 q_b"),
+        (a0.v_proj_adapter1.weight.grad.T, g["layers"]["v_a"][0], "layer0 v_a"),
+        (a0.v_proj_adapter2.weight.grad.T, g["layers"]["v_b"][0], "layer0 v_b"),
+    ]:
+        _assert_close(ref_grad, ours, f"grad({what})", rtol=5e-4, atol=1e-4)
 
 
 # ---------------------------------------------------------------------------
 # Bottleneck adapter — reference adapter_model.py:204-352
 # ---------------------------------------------------------------------------
 
-def test_adapter_forward_parity():
+def _build_adapter():
     ref = _load_ref("adapter_model")
     torch.manual_seed(2)
     vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
@@ -244,18 +265,40 @@ def test_adapter_forward_parity():
             "up_bias": _stack([a.adapter_up.bias for a in ads]),
         },
     }
+    return vt, _visual_params(vt, LAYERS), peft
+
+
+def test_adapter_forward_parity():
+    vt, params, peft = _build_adapter()
     xt, xj = _images()
     with torch.no_grad():
         ref_out = vt(xt)
-    ours = _run_jax(_visual_params(vt, LAYERS), peft, "adapter", xj)
+    ours = _run_jax(params, peft, "adapter", xj)
     _assert_close(ref_out, ours, "adapter encode_image")
+
+
+def test_adapter_grad_parity():
+    vt, params, peft = _build_adapter()
+    xt, xj = _images()
+    (vt(xt) ** 2).sum().backward()
+    a0 = vt.transformer.resblocks[0].adapter
+
+    g = jax.grad(lambda pf: (_run_jax(params, pf, "adapter", xj) ** 2).sum())(peft)
+    for ref_grad, ours, what in [
+        (a0.adapter_norm_before.weight.grad, g["layers"]["norm_scale"][0], "layer0 norm_scale"),
+        (a0.adapter_down[1].weight.grad.T, g["layers"]["down_kernel"][0], "layer0 down_kernel"),
+        (a0.adapter_down[1].bias.grad, g["layers"]["down_bias"][0], "layer0 down_bias"),
+        (a0.adapter_up.weight.grad.T, g["layers"]["up_kernel"][0], "layer0 up_kernel"),
+        (a0.adapter_up.bias.grad, g["layers"]["up_bias"][0], "layer0 up_bias"),
+    ]:
+        _assert_close(ref_grad, ours, f"grad({what})", rtol=5e-4, atol=1e-4)
 
 
 # ---------------------------------------------------------------------------
 # Compacter — reference compacter_model.py:196-560
 # ---------------------------------------------------------------------------
 
-def test_compacter_forward_parity():
+def _build_compacter():
     ref = _load_ref("compacter_model")
     torch.manual_seed(3)
     vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
@@ -275,8 +318,29 @@ def test_compacter_forward_parity():
             "up_b": _stack([c.adapter_up.b for c in cps]),
         },
     }
+    return vt, _visual_params(vt, LAYERS), peft
+
+
+def test_compacter_forward_parity():
+    vt, params, peft = _build_compacter()
     xt, xj = _images()
     with torch.no_grad():
         ref_out = vt(xt)
-    ours = _run_jax(_visual_params(vt, LAYERS), peft, "compacter", xj)
+    ours = _run_jax(params, peft, "compacter", xj)
     _assert_close(ref_out, ours, "compacter encode_image")
+
+
+def test_compacter_grad_parity():
+    vt, params, peft = _build_compacter()
+    xt, xj = _images()
+    (vt(xt) ** 2).sum().backward()
+    c0 = vt.transformer.resblocks[0].compacter
+
+    g = jax.grad(lambda pf: (_run_jax(params, pf, "compacter", xj) ** 2).sum())(peft)
+    for ref_grad, ours, what in [
+        (vt.transformer.phm_rule.grad, g["shared"]["phm_rule"], "shared phm_rule"),
+        (c0.adapter_down[1].W_left.grad, g["layers"]["down_w_left"][0], "layer0 down_w_left"),
+        (c0.adapter_down[1].b.grad, g["layers"]["down_b"][0], "layer0 down_b"),
+        (c0.adapter_up.W_right.grad, g["layers"]["up_w_right"][0], "layer0 up_w_right"),
+    ]:
+        _assert_close(ref_grad, ours, f"grad({what})", rtol=5e-4, atol=1e-4)
