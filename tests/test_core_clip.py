@@ -103,3 +103,32 @@ def test_remat_matches_no_remat():
     a = encode_image(params, x, spec=TINY, remat=False)
     b = encode_image(params, x, spec=TINY, remat=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_fast_ln_switch():
+    """TPU.FAST_LN trades the fp32 LN island for activation-dtype stats:
+    bf16 inputs diverge slightly (different numerics), fp32 inputs match to
+    float rounding, and the switch always restores."""
+    from pevit_tpu.core.layers import set_fast_ln
+
+    rng = np.random.default_rng(0)
+    x32 = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    xbf = x32.astype(jnp.bfloat16)
+    try:
+        ref32, refbf = layer_norm(x32, scale, bias), layer_norm(xbf, scale, bias)
+        set_fast_ln(True)
+        fast32, fastbf = layer_norm(x32, scale, bias), layer_norm(xbf, scale, bias)
+    finally:
+        set_fast_ln(False)
+    assert fastbf.dtype == jnp.bfloat16 and refbf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(fast32), np.asarray(ref32), rtol=1e-5, atol=1e-6)
+    # bf16 stats are a real numerics change (why FAST_LN is opt-in), but
+    # stay within bf16 resolution of the fp32-island answer
+    np.testing.assert_allclose(
+        np.asarray(fastbf, np.float32), np.asarray(refbf, np.float32), rtol=0.1, atol=0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(layer_norm(x32, scale, bias)), np.asarray(ref32), rtol=0, atol=0
+    )
