@@ -60,7 +60,9 @@ def _measure(args, model: str) -> float:
 
     batch = args.batch
     if model == "b16" and batch > 64:
-        batch = 32  # best measured operating point for ViT-B/16
+        # best measured operating point for ViT-B/16 (r2 sweep: batch 8 770,
+        # 12 864, 16 899, 24 853, 32 835, 48 672 img/s — VMEM cliff past 16)
+        batch = 16
 
     cfg = get_default_config()
     cfg.DATASET.NUM_CLASSES = 100
