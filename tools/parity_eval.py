@@ -100,6 +100,13 @@ def main(argv=None):
 
     if args.smoke:
         args.no_tuning, args.lr, args.l2 = "True", 0.01, 1e-4
+        # The smoke grid is a harness/CLI check, not a perf run: keep it off
+        # the (single, shared) TPU chip.  The axon sitecustomize overrides
+        # the JAX_PLATFORMS env var, so force the platform via jax.config
+        # BEFORE any backend initialises (CLAUDE.md environment rules).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     methods = [m.strip() for m in args.methods.split(",")]
     datasets = [d.strip() for d in args.datasets.split(",")]
