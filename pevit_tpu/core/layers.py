@@ -34,7 +34,8 @@ _FAST_LN = False
 # trailing dot_general batch dim.  "bhnd": head-major with the head-split/
 # merge folded into the projection GEMMs — measured on-chip (kadaptation,
 # bf16): B/32 batch 128 3043 vs 3223 img/s (-5.6%), B/16 batch 32 863 vs 832
-# (+3.8%).  The B/32 flagship wins with bnhd, so it stays the default; bhnd
+# (+3.8%) but a wash at B/16's batch-16 operating point (899 vs 903, r2).
+# bnhd wins every operating point, so it is the default everywhere; bhnd
 # remains selectable for long-sequence towers via set_attn_layout.
 _ATTN_LAYOUT = "bnhd"
 
