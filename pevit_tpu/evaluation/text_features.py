@@ -146,7 +146,13 @@ def extract_text_features(
     context_length = config.MODEL.SPEC.TEXT.CONTEXT_LENGTH
     tokens = tokenize(texts, context_length=context_length, truncate=True)
 
-    enc = jax.jit(lambda p, t: encode_text(p, t, spec=spec))
+    # Ship ONLY the text subtree to the device: passing the whole CLIP tree
+    # transfers the (unused) visual tower through the relay link — measured
+    # 199s first-call vs 0.2s text-only on the axon TPU (r2 probe).  The
+    # subtree is passed as the jit ARGUMENT (never closed over — remote
+    # compile rejects programs with big constants).
+    enc = jax.jit(lambda tp, t: encode_text({"text": tp}, t, spec=spec))
+    text_params = clip_params["text"]
     feats = []
     for s in range(0, len(tokens), chunk):
         batch = tokens[s : s + chunk]
@@ -154,7 +160,7 @@ def extract_text_features(
         if len(batch) < chunk and s > 0:  # keep one static shape for big runs
             pad = chunk - len(batch)
             batch = np.concatenate([batch, np.zeros((pad, context_length), np.int32)])
-        out = np.asarray(enc(clip_params, jnp.asarray(batch)), np.float32)
+        out = np.asarray(enc(text_params, jnp.asarray(batch)), np.float32)
         feats.append(out[: len(out) - pad if pad else len(out)])
     emb = np.concatenate(feats)  # (n_prompts, E)
     emb /= np.linalg.norm(emb, axis=-1, keepdims=True) + 1e-12
