@@ -1,0 +1,100 @@
+"""Serving export: the trained classifier as a versioned StableHLO artifact.
+
+The reference stops at evaluation scripts; it has no deployment story.  A
+production TPU framework needs one, and XLA gives it natively: `jax.export`
+captures the ENTIRE inference program — uint8 decode-side input, CLIP
+normalisation fused into the patch-embed GEMM, the PEFT-injected tower, the
+BatchNorm head with frozen statistics — as serialized StableHLO with a
+SYMBOLIC batch dimension.  One artifact then serves any batch size, on any
+machine with a matching XLA runtime, with no Python model code, no config
+tree, and no checkpoint plumbing: weights are baked into the program as
+constants (the trainable state of a PEFT method is tiny; the frozen tower
+dominates and is exactly what serving wants pinned).
+
+Typical flow (see tools/export_model.py for the CLI):
+
+    task = TrainTask(config, static, clip_params)
+    ...train / restore_trainable(...)...
+    exp = export_classifier(static, trainable, frozen, bn_state, task.preproc)
+    save_exported(exp, "classifier.stablehlo")
+    # later / elsewhere:
+    logits = load_exported("classifier.stablehlo").call(images_u8)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+__all__ = [
+    "make_serving_fn",
+    "export_classifier",
+    "save_exported",
+    "load_exported",
+]
+
+
+def make_serving_fn(static, trainable, frozen, bn_state, preproc):
+    """(B, H, W, 3) uint8 -> (B, K) float32 logits, eval-mode.
+
+    Raw images, not the pre-patchified training fast path: serving clients
+    send decoded frames.  model_forward normalises on device and runs the
+    eval forward (dropout off, BN in inference mode with stored statistics).
+    """
+    from .train.partition import combine
+    from .train.trainer import model_forward
+
+    bundle = combine(trainable, frozen)
+
+    def serve(images_u8: jax.Array) -> jax.Array:
+        logits, _ = model_forward(
+            static, bundle, bn_state, images_u8, preproc,
+            train=False, rng=None, mask=None,
+        )
+        return logits
+
+    return serve
+
+
+def export_classifier(
+    static,
+    trainable,
+    frozen,
+    bn_state,
+    preproc,
+    *,
+    image_size: int = 224,
+    dynamic_batch: bool = True,
+    platforms: Optional[Sequence[str]] = None,
+) -> jax_export.Exported:
+    """Trace + lower the serving fn to an `Exported` StableHLO program.
+
+    ``dynamic_batch`` exports with a symbolic leading dimension ``b`` so the
+    artifact serves any batch size; static export (batch 1) is available for
+    runtimes that want fully static shapes.  ``platforms`` pins the lowering
+    platforms (e.g. ("tpu",) or ("cpu", "tpu") for a portable artifact);
+    default is the current backend.
+    """
+    serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
+    example = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
+    if dynamic_batch:
+        args = jax_export.symbolic_args_specs((example,), "b, _, _, _")
+    else:
+        args = (example,)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax_export.export(jax.jit(serve), **kwargs)(*args)
+
+
+def save_exported(exported: jax_export.Exported, path) -> None:
+    Path(path).write_bytes(exported.serialize())
+
+
+def load_exported(path) -> jax_export.Exported:
+    """Deserialize; run with ``.call(images_u8)`` (re-traces under jit)."""
+    return jax_export.deserialize(bytearray(Path(path).read_bytes()))

@@ -1,0 +1,81 @@
+"""Serving export: jax.export round-trip of the eval forward.
+
+The artifact must reproduce the library forward bit-for-bit, serve multiple
+batch sizes through ONE symbolic-batch export, and survive
+serialize -> deserialize with no Python model code rebuilt.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pevit_tpu.config import get_default_config
+from pevit_tpu.core import CLIPSpec, TextSpec, VisionSpec, init_clip_params
+from pevit_tpu.peft import PeftConfig
+from pevit_tpu.serve import (
+    export_classifier,
+    load_exported,
+    make_serving_fn,
+    save_exported,
+)
+from pevit_tpu.train import TaskStatic, TrainTask
+
+RES = 32
+TINY = CLIPSpec(
+    embed_dim=32,
+    vision=VisionSpec(input_resolution=RES, patch_size=16, width=64, layers=2, heads=2, output_dim=32),
+    text=TextSpec(context_length=12, vocab_size=100, width=32, heads=2, layers=2, output_dim=32),
+)
+
+
+def _tiny_task(method="kadaptation"):
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.DATASET.NUM_CLASSES = 4
+    cfg.TRAIN.IMAGE_SIZE = [RES, RES]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+    clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+    static = TaskStatic.from_config(cfg, TINY, PeftConfig(method=method))
+    task = TrainTask(cfg, static, clip_params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
+    return static, trainable, frozen, bn_state, task.preproc
+
+
+def _images(batch):
+    rng = np.random.default_rng(7)
+    return jnp.asarray(rng.integers(0, 255, (batch, RES, RES, 3), dtype=np.uint8))
+
+
+def test_symbolic_batch_roundtrip(tmp_path):
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, preproc, image_size=RES
+    )
+    path = tmp_path / "clf.stablehlo"
+    save_exported(exp, path)
+    assert path.stat().st_size > 0
+    loaded = load_exported(path)
+
+    for batch in (2, 5):  # ONE artifact, multiple batch sizes
+        x = _images(batch)
+        got = np.asarray(loaded.call(x))
+        want = np.asarray(serve(x))
+        assert got.shape == (batch, 4)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_static_batch_export():
+    static, trainable, frozen, bn_state, preproc = _tiny_task(method="lora")
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, preproc,
+        image_size=RES, dynamic_batch=False,
+    )
+    out = np.asarray(exp.call(_images(1)))
+    assert out.shape == (1, 4) and np.all(np.isfinite(out))
+    # a static export must reject other batch sizes rather than mis-serve
+    with pytest.raises(Exception):
+        exp.call(_images(3))
