@@ -33,6 +33,7 @@ from jax import export as jax_export
 __all__ = [
     "make_serving_fn",
     "export_classifier",
+    "serving_weights",
     "save_exported",
     "load_exported",
 ]
@@ -69,6 +70,7 @@ def export_classifier(
     *,
     image_size: int = 224,
     dynamic_batch: bool = True,
+    bake_weights: bool = True,
     platforms: Optional[Sequence[str]] = None,
 ) -> jax_export.Exported:
     """Trace + lower the serving fn to an `Exported` StableHLO program.
@@ -78,17 +80,50 @@ def export_classifier(
     runtimes that want fully static shapes.  ``platforms`` pins the lowering
     platforms (e.g. ("tpu",) or ("cpu", "tpu") for a portable artifact);
     default is the current backend.
+
+    ``bake_weights`` picks the deployment mode:
+      * True  — weights become program constants: ONE self-contained
+        artifact, `exp.call(images)`.  The natural mode for real TPU hosts
+        (local XLA compile).  Note: compile services with request-size
+        limits (e.g. the axon relay's remote compiler, HTTP 413 past
+        ~100 MB) cannot load a ViT-B-sized baked program.
+      * False — weights stay ARGUMENTS: a ~1 MB program-only artifact plus
+        a separate weight bundle, `exp.call(weights, images)` with
+        ``weights = serving_weights(trainable, frozen, bn_state)``.
+        Enables weight hot-swap (retrained PEFT state, same program) and
+        relay-style deployments.
     """
     serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
     example = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
-    if dynamic_batch:
-        args = jax_export.symbolic_args_specs((example,), "b, _, _, _")
-    else:
-        args = (example,)
+    img_spec = "b, _, _, _" if dynamic_batch else None
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    return jax_export.export(jax.jit(serve), **kwargs)(*args)
+    if bake_weights:
+        args = jax_export.symbolic_args_specs((example,), img_spec)
+        return jax_export.export(jax.jit(serve), **kwargs)(*args)
+
+    weights = serving_weights(trainable, frozen, bn_state)
+
+    def serve_args(weights, images_u8):
+        from .train.trainer import model_forward
+
+        bundle, bn = weights["bundle"], weights["bn_state"]
+        logits, _ = model_forward(
+            static, bundle, bn, images_u8, preproc,
+            train=False, rng=None, mask=None,
+        )
+        return logits
+
+    args = jax_export.symbolic_args_specs((weights, example), [None, img_spec])
+    return jax_export.export(jax.jit(serve_args), **kwargs)(*args)
+
+
+def serving_weights(trainable, frozen, bn_state) -> dict:
+    """The weight bundle a ``bake_weights=False`` artifact takes as arg 0."""
+    from .train.partition import combine
+
+    return {"bundle": combine(trainable, frozen), "bn_state": bn_state}
 
 
 def save_exported(exported: jax_export.Exported, path) -> None:

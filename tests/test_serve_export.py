@@ -19,6 +19,7 @@ from pevit_tpu.serve import (
     load_exported,
     make_serving_fn,
     save_exported,
+    serving_weights,
 )
 from pevit_tpu.train import TaskStatic, TrainTask
 
@@ -66,6 +67,31 @@ def test_symbolic_batch_roundtrip(tmp_path):
         want = np.asarray(serve(x))
         assert got.shape == (batch, 4)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_weights_as_args_roundtrip(tmp_path):
+    """Program-only artifact + separate weight bundle (hot-swap mode)."""
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, preproc,
+        image_size=RES, bake_weights=False,
+    )
+    path = tmp_path / "clf_args.stablehlo"
+    save_exported(exp, path)
+    loaded = load_exported(path)
+    weights = serving_weights(trainable, frozen, bn_state)
+    x = _images(3)
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(weights, x)), np.asarray(serve(x)),
+        rtol=1e-5, atol=1e-5,
+    )
+    # the program-only artifact must be tiny compared to the baked one:
+    # weights live OUTSIDE it (hot-swappable)
+    baked = export_classifier(
+        static, trainable, frozen, bn_state, preproc, image_size=RES
+    )
+    assert path.stat().st_size < len(baked.serialize()) / 2
 
 
 def test_static_batch_export():

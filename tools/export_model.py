@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--out", default="classifier.stablehlo")
     ap.add_argument("--static-batch", action="store_true",
                     help="export with a fixed batch of 1 instead of a symbolic batch dim")
+    ap.add_argument("--weights-as-args", action="store_true",
+                    help="program-only artifact (~1 MB); weights ship separately and the "
+                    "artifact is called as exp.call(serving_weights(...), images). "
+                    "Required on compile services with request-size limits")
     ap.add_argument("--platforms", default="",
                     help="comma-separated lowering platforms, e.g. 'cpu,tpu' (default: current)")
     ap.add_argument("--seed", type=int, default=0)
@@ -90,6 +94,7 @@ def main(argv=None):
         static, trainable, frozen, bn_state, task.preproc,
         image_size=config.TRAIN.IMAGE_SIZE[0],
         dynamic_batch=not args.static_batch,
+        bake_weights=not args.weights_as_args,
         platforms=[p for p in args.platforms.split(",") if p] or None,
     )
     save_exported(exported, args.out)
