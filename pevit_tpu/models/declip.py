@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

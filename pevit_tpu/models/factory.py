@@ -17,7 +17,6 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from . import declip as _declip
 from . import swin as _swin

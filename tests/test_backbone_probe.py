@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from pevit_tpu.config import get_default_config
 from pevit_tpu.core import CLIPSpec, TextSpec, VisionSpec, init_clip_params

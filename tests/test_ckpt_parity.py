@@ -16,7 +16,6 @@ import pytest
 import torch
 import torch.nn as nn
 
-import jax
 import jax.numpy as jnp
 
 from pevit_tpu.ckpt import infer_spec_from_state_dict, state_dict_to_params

@@ -1,7 +1,6 @@
 """Data layer: split semantics, few-shot determinism, transforms, sources."""
 
 import numpy as np
-import pytest
 
 from pevit_tpu.data.registry import ELEVATER_DATASETS, get_dataset_info
 from pevit_tpu.data.sampling import class_balanced_val_split, sample_few_shot_subset

@@ -25,7 +25,6 @@ from pathlib import Path
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from pevit_tpu.models import declip as jdeclip

@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from pevit_tpu.models.nnclr import (
     MemoryBankState,
-    enqueue,
     init_memory_bank,
     nearest_neighbours,
     nn_replace,

@@ -2,7 +2,6 @@
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from pevit_tpu.models.swin import SwinSpec, swin_forward, swin_state_dict_to_params
 

@@ -1,7 +1,6 @@
 """Optimizer/BN torch-parity and metric correctness tests."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 import torch
