@@ -1,0 +1,83 @@
+"""End-to-end: train via the CLI, checkpoint, export a serving artifact
+with tools/export_model.py, replay it, and match the library forward.
+
+Covers the production hand-off chain the reference never had:
+  CLI training -> Orbax trainable checkpoint -> restore in the export tool
+  -> program-only StableHLO artifact -> exp.call(weights, images).
+"""
+
+import importlib.util
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parents[1]
+
+from tests.test_cli_e2e import _argv, _write_cfgs  # same tiny-config grammar
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location(
+        "export_model", REPO / "tools" / "export_model.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_train_checkpoint_export_replay(tmp_path):
+    from pevit_tpu.commands.kronecker_adaptation_clip import main as train_main
+
+    ds, model = _write_cfgs(tmp_path)
+    ck = str(tmp_path / "ck")
+    best_acc, _ = train_main(_argv(ds, model, extra=["TPU.CHECKPOINT_DIR", ck]))
+    assert best_acc > 0 and (Path(ck)).exists()
+
+    out = tmp_path / "clf.stablehlo"
+    tool = _load_tool()
+    exported = tool.main([
+        "--model", model, "--ds", ds, "--method", "kadaptation",
+        "--ckpt-dir", ck, "--weights-as-args", "--out", str(out),
+        "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+        "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False",
+    ])
+    assert out.stat().st_size > 0
+    assert str(exported.in_avals[-1].shape[0]) == "b"  # symbolic batch
+
+    # rebuild the serving weights the way a deployment host would: fresh
+    # init (different seed values) + the TRAINED state restored on top —
+    # the artifact must reproduce the tool's model, not the fresh init
+    from pevit_tpu.ckpt import load_clip, restore_trainable
+    from pevit_tpu.config import get_default_config, update_config
+    from pevit_tpu.core.clip import CLIPSpec
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.serve import load_exported, make_serving_fn, serving_weights
+    from pevit_tpu.train import TaskStatic, TrainTask
+
+    class _A:  # the tool's own config grammar
+        opts = ["TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+                "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False"]
+
+    cfg = get_default_config()
+    for f in (ds, model):
+        _A.cfg = f
+        update_config(cfg, _A)
+    clip_params, spec = load_clip("ViT-B/32", checkpoint_path=None, seed=0,
+                                  spec_hint=CLIPSpec.from_config(cfg))
+    static = TaskStatic.from_config(cfg, spec, PeftConfig(method="kadaptation"))
+    task = TrainTask(cfg, static, clip_params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(0))
+    trainable = restore_trainable(ck, trainable)
+
+    serve = make_serving_fn(static, trainable, frozen, bn_state, task.preproc)
+    weights = serving_weights(trainable, frozen, bn_state)
+    loaded = load_exported(out)
+    x = jnp.asarray(np.random.default_rng(0).integers(0, 255, (3, 32, 32, 3), dtype=np.uint8))
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(weights, x)), np.asarray(serve(x)),
+        rtol=1e-5, atol=1e-5,
+    )
