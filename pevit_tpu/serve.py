@@ -72,6 +72,8 @@ def export_classifier(
     dynamic_batch: bool = True,
     bake_weights: bool = True,
     platforms: Optional[Sequence[str]] = None,
+    mesh=None,
+    data_axis: str = "data",
 ) -> jax_export.Exported:
     """Trace + lower the serving fn to an `Exported` StableHLO program.
 
@@ -92,16 +94,37 @@ def export_classifier(
         ``weights = serving_weights(trainable, frozen, bn_state)``.
         Enables weight hot-swap (retrained PEFT state, same program) and
         relay-style deployments.
+
+    ``mesh`` exports a DATA-PARALLEL serving program over a device mesh:
+    weights replicated, the image batch sharded on ``data_axis``, GSPMD
+    partitioning captured in the artifact (``Exported.nr_devices`` =
+    mesh size).  With ``dynamic_batch`` the symbolic batch is constrained
+    to multiples of the mesh's data width.  At call time the batch must be
+    laid out with the matching NamedSharding on an equal-size mesh.
     """
     serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
-    example = jnp.zeros((1, image_size, image_size, 3), jnp.uint8)
-    img_spec = "b, _, _, _" if dynamic_batch else None
+    n_shard = 1
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n_shard = mesh.shape[data_axis]
+        img_sh = NamedSharding(mesh, PartitionSpec(data_axis, None, None, None))
+        repl = NamedSharding(mesh, PartitionSpec())
+        out_sh = NamedSharding(mesh, PartitionSpec(data_axis, None))
+        if bake_weights:
+            jit_kwargs = {"in_shardings": (img_sh,), "out_shardings": out_sh}
+        else:
+            jit_kwargs = {"in_shardings": (repl, img_sh), "out_shardings": out_sh}
+
+    example = jnp.zeros((n_shard, image_size, image_size, 3), jnp.uint8)
+    img_spec = (f"{n_shard}*b, _, _, _" if n_shard > 1 else "b, _, _, _") if dynamic_batch else None
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
     if bake_weights:
         args = jax_export.symbolic_args_specs((example,), img_spec)
-        return jax_export.export(jax.jit(serve), **kwargs)(*args)
+        return jax_export.export(jax.jit(serve, **jit_kwargs), **kwargs)(*args)
 
     weights = serving_weights(trainable, frozen, bn_state)
 
@@ -116,7 +139,7 @@ def export_classifier(
         return logits
 
     args = jax_export.symbolic_args_specs((weights, example), [None, img_spec])
-    return jax_export.export(jax.jit(serve_args), **kwargs)(*args)
+    return jax_export.export(jax.jit(serve_args, **jit_kwargs), **kwargs)(*args)
 
 
 def serving_weights(trainable, frozen, bn_state) -> dict:

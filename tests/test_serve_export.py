@@ -94,6 +94,38 @@ def test_weights_as_args_roundtrip(tmp_path):
     assert path.stat().st_size < len(baked.serialize()) / 2
 
 
+def test_data_parallel_mesh_export(tmp_path):
+    """GSPMD serving artifact: weights replicated, batch sharded on 'data'."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (conftest forces 8 virtual CPUs)")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, preproc,
+        image_size=RES, bake_weights=False, mesh=mesh,
+    )
+    assert exp.nr_devices == 4
+    path = tmp_path / "clf_dp.stablehlo"
+    save_exported(exp, path)
+    loaded = load_exported(path)
+
+    weights = jax.device_put(
+        serving_weights(trainable, frozen, bn_state),
+        NamedSharding(mesh, PartitionSpec()),
+    )
+    img_sh = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+    for batch in (8, 16):  # multiples of the mesh's data width
+        x = jax.device_put(_images(batch), img_sh)
+        got = np.asarray(loaded.call(weights, x))
+        np.testing.assert_allclose(
+            got, np.asarray(serve(_images(batch))), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_static_batch_export():
     static, trainable, frozen, bn_state, preproc = _tiny_task(method="lora")
     exp = export_classifier(
