@@ -208,7 +208,7 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"   # activations/matmul dtype; params stay fp32
 _C.TPU.PARITY_FP32 = False          # force fp32 everywhere (parity tests)
 _C.TPU.MESH_DATA = -1               # -1: all devices on the data axis
 _C.TPU.MESH_MODEL = 1               # tensor-parallel axis size
-_C.TPU.SWEEP_PARALLEL_TRIALS = 4    # max trials vmapped together PER DEVICE (larger fused programs can exceed this env's remote-compiler limits)
+_C.TPU.SWEEP_PARALLEL_TRIALS = 8    # max trials vmapped together PER DEVICE (r2: 8-wide measured 0.64 vs 1.03 s/trial at 4-wide; sweep._run_chunk halves the width automatically if a program exceeds the remote-compiler size limit)
 _C.TPU.SWEEP_TRIALS_OVER_MESH = True  # shard the vmapped trial axis across devices (independent trials -> pure SPMD, no collectives)
 _C.TPU.REMAT = False                # rematerialize transformer blocks (ViT-B fits without; enable for larger models/batches)
 _C.TPU.FAST_LN = False              # LayerNorm stats in activation dtype (speed; off = reference fp32 islands)

@@ -33,32 +33,51 @@ def wd_grid(config):
     return grid, init_idx
 
 
-def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max_parallel: int):
-    """Run a stage of (lr, wd) trials, chunked to ``max_parallel`` per vmap.
+def _run_chunk(task: TrainTask, chunk: list, data, end_epoch: int, seed: int) -> list:
+    """Scores for one vmapped trial chunk, with width-halving fallback.
 
-    Returns scores aligned with ``jobs``.  Failures score 0.0, mirroring the
-    reference's try/except-0.0 (kadaptation_clip.py:200-205)."""
+    A JaxRuntimeError on a multi-trial chunk is retried as two half-width
+    chunks: the dominant cause at high trial width is the remote compiler's
+    program-size limit (HTTP 413), which shrinks with the vmap width — and
+    the split doubles as one retry for transient relay failures.  A runtime
+    error on a SINGLE trial is a real device problem and aborts the sweep
+    (never silently zeroed — that would corrupt selection).  Non-runtime
+    per-trial failures score 0.0, mirroring the reference's try/except-0.0
+    (kadaptation_clip.py:200-205)."""
     train_x, train_y, val_x, val_y = data
+    try:
+        res = task.train_trials(
+            chunk, train_x, train_y, val_x, val_y, end_epoch=end_epoch, seed=seed
+        )
+        use_last = task.config.TRAIN.SEARCH_RESULT_ON_LAST_EPOCH
+        out = []
+        for r in res:
+            v = r["last_score"] if use_last else r["best_score"]
+            out.append(0.0 if not np.isfinite(v) else float(v))
+        return out
+    except Exception as e:  # noqa: BLE001 — parity with reference failure handling
+        if type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError"):
+            if len(chunk) > 1:
+                mid = len(chunk) // 2
+                logging.warning(
+                    "sweep chunk of %d failed on device (%s); splitting to %d+%d",
+                    len(chunk), e, mid, len(chunk) - mid,
+                )
+                return (
+                    _run_chunk(task, chunk[:mid], data, end_epoch, seed)
+                    + _run_chunk(task, chunk[mid:], data, end_epoch, seed)
+                )
+            logging.error("DEVICE error in sweep stage (%s: %s) — aborting sweep", type(e).__name__, e)
+            raise
+        logging.warning("sweep stage chunk failed (%s); scoring 0", e)
+        return [0.0] * len(chunk)
+
+
+def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max_parallel: int):
+    """Run a stage of (lr, wd) trials, chunked to ``max_parallel`` per vmap."""
     scores = []
     for s in range(0, len(jobs), max_parallel):
-        chunk = jobs[s : s + max_parallel]
-        try:
-            res = task.train_trials(
-                chunk, train_x, train_y, val_x, val_y, end_epoch=end_epoch, seed=seed
-            )
-            use_last = task.config.TRAIN.SEARCH_RESULT_ON_LAST_EPOCH
-            for r in res:
-                v = r["last_score"] if use_last else r["best_score"]
-                scores.append(0.0 if not np.isfinite(v) else float(v))
-        except Exception as e:  # noqa: BLE001 — parity with reference failure handling
-            # reference scores failed trials 0.0 (kadaptation_clip.py:200-205);
-            # device/runtime errors are NOT silently absorbed — they would
-            # zero every stage and quietly corrupt selection
-            if type(e).__name__ in ("JaxRuntimeError", "XlaRuntimeError"):
-                logging.error("DEVICE error in sweep stage (%s: %s) — aborting sweep", type(e).__name__, e)
-                raise
-            logging.warning("sweep stage chunk failed (%s); scoring 0", e)
-            scores.extend([0.0] * len(chunk))
+        scores.extend(_run_chunk(task, jobs[s : s + max_parallel], data, end_epoch, seed))
     return scores
 
 

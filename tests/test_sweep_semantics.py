@@ -101,3 +101,37 @@ def test_sweep_failure_scores_zero():
     task = BoomTask(cfg, lambda lr, wd: 0.0)
     scores = sweep_mod._run_stage(task, [(0.1, 1.0), (0.2, 2.0)], (None,) * 4, 1, 0, 8)
     assert scores == [0.0, 0.0]
+
+
+def test_run_chunk_halves_on_device_error():
+    """An oversized-program failure splits the chunk instead of aborting;
+    a single-trial device failure still raises (never silently zeroed)."""
+
+    class JaxRuntimeError(RuntimeError):
+        pass
+
+    class FlakyTask(FakeTask):
+        def __init__(self, config, score_fn, max_width):
+            super().__init__(config, score_fn)
+            self.max_width = max_width
+
+        def train_trials(self, hparams, *a, **k):
+            if len(hparams) > self.max_width:
+                raise JaxRuntimeError("remote_compile: HTTP 413")
+            return super().train_trials(hparams, *a, **k)
+
+    cfg = get_default_config()
+    score = lambda lr, wd: lr + wd
+    jobs = [(float(i), float(i) / 10) for i in range(8)]
+    data = (None, None, None, None)
+
+    task = FlakyTask(cfg, score, max_width=2)
+    scores = sweep_mod._run_stage(task, jobs, data, end_epoch=1, seed=0, max_parallel=8)
+    assert scores == [score(lr, wd) for lr, wd in jobs]
+    # 8 -> 4+4 -> 2+2+2+2: only width<=2 calls ever run
+    assert all(len(c) <= 2 for c in task.calls)
+
+    # single-trial device error must abort, not score 0
+    task1 = FlakyTask(cfg, score, max_width=0)
+    with pytest.raises(JaxRuntimeError):
+        sweep_mod._run_stage(task1, jobs[:1], data, end_epoch=1, seed=0, max_parallel=8)
