@@ -39,12 +39,17 @@ __all__ = [
 ]
 
 
-def make_serving_fn(static, trainable, frozen, bn_state, preproc):
+def make_serving_fn(static, trainable, frozen, bn_state, preproc, forward_fn=None):
     """(B, H, W, 3) uint8 -> (B, K) float32 logits, eval-mode.
 
     Raw images, not the pre-patchified training fast path: serving clients
     send decoded frames.  model_forward normalises on device and runs the
     eval forward (dropout off, BN in inference mode with stored statistics).
+
+    ``forward_fn`` overrides the CLIP visual tower for auxiliary backbones
+    (swin / MAE / MoCo-v3 / DeCLIP family via models.factory) — pass the
+    TrainTask's backbone forward, e.g. ``lambda p, x, train:
+    backbone.forward_features(p, x)`` (trainer.py builds the same closure).
     """
     from .train.partition import combine
     from .train.trainer import model_forward
@@ -54,7 +59,7 @@ def make_serving_fn(static, trainable, frozen, bn_state, preproc):
     def serve(images_u8: jax.Array) -> jax.Array:
         logits, _ = model_forward(
             static, bundle, bn_state, images_u8, preproc,
-            train=False, rng=None, mask=None,
+            train=False, rng=None, mask=None, forward_fn=forward_fn,
         )
         return logits
 
@@ -74,6 +79,7 @@ def export_classifier(
     platforms: Optional[Sequence[str]] = None,
     mesh=None,
     data_axis: str = "data",
+    forward_fn=None,
 ) -> jax_export.Exported:
     """Trace + lower the serving fn to an `Exported` StableHLO program.
 
@@ -102,7 +108,9 @@ def export_classifier(
     to multiples of the mesh's data width.  At call time the batch must be
     laid out with the matching NamedSharding on an equal-size mesh.
     """
-    serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
+    serve = make_serving_fn(
+        static, trainable, frozen, bn_state, preproc, forward_fn=forward_fn
+    )
     n_shard = 1
     jit_kwargs = {}
     if mesh is not None:
@@ -134,7 +142,7 @@ def export_classifier(
         bundle, bn = weights["bundle"], weights["bn_state"]
         logits, _ = model_forward(
             static, bundle, bn, images_u8, preproc,
-            train=False, rng=None, mask=None,
+            train=False, rng=None, mask=None, forward_fn=forward_fn,
         )
         return logits
 

@@ -126,6 +126,41 @@ def test_data_parallel_mesh_export(tmp_path):
         )
 
 
+def test_aux_backbone_export(tmp_path):
+    """forward_fn path: a factory (non-CLIP) backbone exports and replays."""
+    from pevit_tpu.models import get_model
+
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.MODEL.NAME = "cls_example"
+    cfg.DATASET.NUM_CLASSES = 4
+    cfg.TRAIN.IMAGE_SIZE = [RES, RES]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+    backbone = get_model(cfg)
+    static = TaskStatic.from_config(
+        cfg, TINY, PeftConfig(method="linear_probe"), feat_dim=backbone.feat_dim
+    )
+    task = TrainTask(cfg, static, backbone.params, backbone=backbone)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
+    fwd = task._forward_fn
+    assert fwd is not None
+
+    serve = make_serving_fn(static, trainable, frozen, bn_state, task.preproc, forward_fn=fwd)
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, task.preproc,
+        image_size=RES, bake_weights=False, forward_fn=fwd,
+    )
+    path = tmp_path / "aux.stablehlo"
+    save_exported(exp, path)
+    weights = serving_weights(trainable, frozen, bn_state)
+    x = _images(3)
+    np.testing.assert_allclose(
+        np.asarray(load_exported(path).call(weights, x)), np.asarray(serve(x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_static_batch_export():
     static, trainable, frozen, bn_state, preproc = _tiny_task(method="lora")
     exp = export_classifier(

@@ -72,15 +72,27 @@ def main(argv=None):
             update_config(config, args)
 
     name = config.MODEL.NAME
-    ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
-    clip_params, spec = load_clip(
-        name,
-        checkpoint_path=ckpt,
-        seed=args.seed,
-        spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
-    )
-    static = TaskStatic.from_config(config, spec, PeftConfig(method=args.method))
-    task = TrainTask(config, static, clip_params)
+    is_clip = name.startswith(("ViT-B", "ViT-L", "RN"))
+    if is_clip:
+        ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
+        clip_params, spec = load_clip(
+            name,
+            checkpoint_path=ckpt,
+            seed=args.seed,
+            spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
+        )
+        backbone, feat_dim = None, 0
+    else:
+        # auxiliary backbones via the same factory the CLI uses
+        from pevit_tpu.models import get_model
+
+        if args.method not in ("linear_probe", "full_finetune"):
+            raise SystemExit(f"PEFT method {args.method!r} requires a CLIP backbone")
+        backbone = get_model(config)
+        clip_params, spec = backbone.params, CLIPSpec.from_config(config)
+        feat_dim = backbone.feat_dim
+    static = TaskStatic.from_config(config, spec, PeftConfig(method=args.method), feat_dim=feat_dim)
+    task = TrainTask(config, static, clip_params, backbone=backbone)
     trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(args.seed))
 
     ckpt_dir = args.ckpt_dir or config.TPU.CHECKPOINT_DIR
@@ -96,6 +108,7 @@ def main(argv=None):
         dynamic_batch=not args.static_batch,
         bake_weights=not args.weights_as_args,
         platforms=[p for p in args.platforms.split(",") if p] or None,
+        forward_fn=getattr(task, "_forward_fn", None),
     )
     save_exported(exported, args.out)
     size_mb = Path(args.out).stat().st_size / 1e6
