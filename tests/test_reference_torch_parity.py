@@ -344,3 +344,43 @@ def test_compacter_grad_parity():
         (c0.adapter_up.W_right.grad, g["layers"]["up_w_right"][0], "layer0 up_w_right"),
     ]:
         _assert_close(ref_grad, ours, f"grad({what})", rtol=5e-4, atol=1e-4)
+
+
+def test_kadaptation_train_dropout_statistics():
+    """Quirk #6 (Dropout(0.5) on the weight matrix H itself) in TRAIN mode.
+
+    Exact equality is impossible across RNGs, so compare the output
+    DISTRIBUTION over many dropout draws: mean and variance.  Variance is
+    the discriminating statistic — dropping H's 576 entries (averaged away
+    by x @ H) gives far lower output variance than dropping activations
+    would, so a misplaced dropout shifts the ratio well outside the band.
+    """
+    vt, params, peft = _build_kadapt()
+    xt, xj = _images(batch=2)
+    n = 256
+
+    vt.train()
+    with torch.no_grad():
+        ref = np.stack([vt(xt).numpy() for _ in range(n)])
+
+    hooks = make_hooks(PeftConfig(method="kadaptation"), SPEC, train=True)
+    fwd = jax.jit(
+        lambda r: encode_image(
+            params, xj, spec=SPEC, peft=peft, hooks=hooks, rng=r,
+            compute_dtype=jnp.float32,
+        )
+    )
+    ours = np.stack([np.asarray(fwd(jax.random.PRNGKey(i))) for i in range(n)])
+
+    # identical architecture + weights => matching dropout statistics
+    se = ref.std(0) / np.sqrt(n)
+    np.testing.assert_allclose(
+        ours.mean(0), ref.mean(0), atol=np.maximum(6 * se, 2e-3).max(), rtol=0,
+        err_msg="train-mode output mean diverges (dropout misplaced or missing)",
+    )
+    ref_var, our_var = float(ref.var(0).mean()), float(ours.var(0).mean())
+    assert ref_var > 0, "reference train mode shows no dropout variance?"
+    assert 0.6 < our_var / ref_var < 1.6, (
+        f"dropout-variance mismatch: ours {our_var:.3e} vs ref {ref_var:.3e} "
+        "(dropout applied at the wrong place?)"
+    )
