@@ -1,0 +1,159 @@
+"""Whole-training-run golden parity vs the reference torch stack.
+
+The strongest offline accuracy-parity evidence available: N epochs of the
+reference's ACTUAL training semantics — its LoRA VisionTransformer
+(lora_model.py), the Classifier head (BatchNorm1d(affine=False) + Linear,
+kadaptation_clip.py:128-132), CE loss, torch SGD(momentum=0.9, wd) over the
+name-matched trainable partition, batch-shuffled epochs — executed by torch
+itself, against OUR whole-run jitted fit on the identical data, weights and
+batch order.  Final logits (eval mode, trained BN stats included) and
+trained weights must agree to fp32 tolerance.
+
+LoRA is the method with no dropout anywhere, so both trajectories are
+deterministic.  The batch order is replicated by replaying the trainer's
+RNG discipline (trainer.py:305-306: per-epoch ``rng, perm_rng, drop_rng =
+split(rng, 3)``); if that discipline changes, update `_trainer_perms`.
+Order matters MORE than floats here: the reference's raw-reshape scramble
+(quirk #4, lora_model.py:724-733 (N,B,C)->(B*H,N,hd)) mixes batch and
+token axes, so the forward is NOT batch-order equivariant — a faithfully
+replicated property this test depends on (both sides must see identical
+batch composition AND order).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pevit_tpu.config import get_default_config
+from pevit_tpu.peft import PeftConfig
+from pevit_tpu.train import TaskStatic, TrainTask
+from pevit_tpu.train.optim import make_optimizer
+from pevit_tpu.train.trainer import build_fit_fn
+
+from tests.test_reference_torch_parity import (
+    OUT,
+    RES,
+    SPEC,
+    _build_lora,
+    torch,
+)
+
+K, N, B, EPOCHS = 4, 16, 8, 3
+LR, WD = 0.01, 1e-4
+
+
+def _trainer_perms(seed_key, n, epochs):
+    """Replay the fit's per-epoch shuffle (trainer.py:305-306)."""
+    rng = seed_key
+    perms = []
+    for _ in range(epochs):
+        rng, perm_rng, _ = jax.random.split(rng, 3)
+        perms.append(np.asarray(jax.random.permutation(perm_rng, n)))
+    return perms
+
+
+@pytest.mark.slow
+def test_lora_full_training_run_matches_reference_stack(tmp_path):
+    vt, params, peft = _build_lora()  # reference torch model + converted trees
+
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.DATASET.NUM_CLASSES = K
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = B
+    cfg.TRAIN.IMAGE_SIZE = [RES, RES]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+
+    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method="lora"))
+    task = TrainTask(cfg, static, params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
+    # inject the reference's exact LoRA factors (A random, B zero-init)
+    trainable["peft"]["layers"] = peft["layers"]
+
+    rng = np.random.default_rng(11)
+    images_u8 = rng.integers(0, 255, (N, RES, RES, 3), dtype=np.uint8)
+    labels = rng.integers(0, K, (N,)).astype(np.int64)
+
+    # ---- our side: ONE whole-run dispatch -------------------------------
+    fit = jax.jit(build_fit_fn(static, N, EPOCHS, task.preproc))
+    opt_init, _ = make_optimizer("sgd")
+    state = (trainable, opt_init(trainable), bn_state, jax.random.PRNGKey(2))
+    lr_table = jnp.full((EPOCHS,), LR, jnp.float32)
+    state = fit(
+        frozen, jnp.asarray(images_u8), jnp.asarray(labels.astype(np.int32)),
+        state, lr_table, jnp.float32(WD),
+    )
+    trained, _, bn_trained, _ = state
+
+    # ---- reference side: eager torch, identical everything --------------
+    mean = np.asarray(task.preproc["mean"], np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(task.preproc["std"], np.float32).reshape(1, 3, 1, 1)
+    x_all = torch.from_numpy(
+        (images_u8.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
+    )
+    x_all = (x_all - torch.from_numpy(mean)) / torch.from_numpy(std)
+    y_all = torch.from_numpy(labels)
+
+    bn = torch.nn.BatchNorm1d(OUT, affine=False)  # kadaptation_clip.py:128-131
+    lin = torch.nn.Linear(OUT, K)
+    with torch.no_grad():  # same head init as ours
+        lin.weight.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["bias"])))
+
+    vt.train()
+    bn.train()
+    train_params = [p for n, p in vt.named_parameters() if "adapter" in n]
+    train_params += list(lin.parameters())
+    # mirror the fit's optimizer settings exactly (config defaults include
+    # nesterov=True — reference config/default.py parity)
+    opt = torch.optim.SGD(
+        train_params, lr=LR, momentum=static.momentum,
+        weight_decay=WD, nesterov=static.nesterov,
+    )
+    ce = torch.nn.CrossEntropyLoss()
+
+    for perm in _trainer_perms(jax.random.PRNGKey(2), N, EPOCHS):
+        for s in range(0, N, B):
+            idx = perm[s : s + B]
+            opt.zero_grad()
+            logits = lin(bn(vt(x_all[idx])))
+            ce(logits, y_all[idx]).backward()
+            opt.step()
+
+    # ---- compare trained state + eval logits ----------------------------
+    np.testing.assert_allclose(
+        np.asarray(trained["head"]["linear"]["kernel"]), lin.weight.detach().numpy().T,
+        rtol=2e-3, atol=2e-4, err_msg="trained head kernel diverges",
+    )
+    a0 = vt.transformer.resblocks[0].attn
+    np.testing.assert_allclose(
+        np.asarray(trained["peft"]["layers"]["q_b"][0]),
+        a0.q_proj_adapter2.weight.detach().numpy().T,
+        rtol=2e-3, atol=2e-4, err_msg="trained LoRA B factor diverges",
+    )
+    np.testing.assert_allclose(
+        np.asarray(bn_trained["mean"]), bn.running_mean.detach().numpy(),
+        rtol=2e-3, atol=2e-4, err_msg="BN running mean diverges",
+    )
+
+    vt.eval(); bn.eval()
+    x_test = rng.integers(0, 255, (8, RES, RES, 3), dtype=np.uint8)
+    with torch.no_grad():
+        xt = torch.from_numpy((x_test.astype(np.float32) / 255.0).transpose(0, 3, 1, 2))
+        xt = (xt - torch.from_numpy(mean)) / torch.from_numpy(std)
+        ref_logits = lin(bn(vt(xt))).numpy()
+
+    from pevit_tpu.train.partition import combine
+    from pevit_tpu.train.trainer import model_forward
+
+    bundle = combine(trained, frozen)
+    ours_logits, _ = model_forward(
+        static, bundle, bn_trained, jnp.asarray(x_test), task.preproc,
+        train=False, rng=None, mask=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_logits), ref_logits, rtol=2e-3, atol=5e-4,
+        err_msg="post-training eval logits diverge from the reference stack",
+    )
