@@ -9,8 +9,8 @@ itself, against OUR whole-run jitted fit on the identical data, weights and
 batch order.  Final logits (eval mode, trained BN stats included) and
 trained weights must agree to fp32 tolerance.
 
-LoRA is the method with no dropout anywhere, so both trajectories are
-deterministic.  The batch order is replicated by replaying the trainer's
+LoRA and the bottleneck adapter have no dropout anywhere, so both
+trajectories are deterministic (parametrized over both methods).  The batch order is replicated by replaying the trainer's
 RNG discipline (trainer.py:305-306: per-epoch ``rng, perm_rng, drop_rng =
 split(rng, 3)``); if that discipline changes, update `_trainer_perms`.
 Order matters MORE than floats here: the reference's raw-reshape scramble
@@ -36,6 +36,7 @@ from tests.test_reference_torch_parity import (
     OUT,
     RES,
     SPEC,
+    _build_adapter,
     _build_lora,
     torch,
 )
@@ -55,8 +56,11 @@ def _trainer_perms(seed_key, n, epochs):
 
 
 @pytest.mark.slow
-def test_lora_full_training_run_matches_reference_stack(tmp_path):
-    vt, params, peft = _build_lora()  # reference torch model + converted trees
+@pytest.mark.parametrize(
+    "method,builder", [("lora", _build_lora), ("adapter", _build_adapter)]
+)
+def test_full_training_run_matches_reference_stack(tmp_path, method, builder):
+    vt, params, peft = builder()  # reference torch model + converted trees
 
     cfg = get_default_config()
     cfg.defrost()
@@ -66,10 +70,10 @@ def test_lora_full_training_run_matches_reference_stack(tmp_path):
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.freeze()
 
-    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method="lora"))
+    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method=method))
     task = TrainTask(cfg, static, params)
     trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
-    # inject the reference's exact LoRA factors (A random, B zero-init)
+    # inject the reference's exact PEFT parameters
     trainable["peft"]["layers"] = peft["layers"]
 
     rng = np.random.default_rng(11)
@@ -127,12 +131,20 @@ def test_lora_full_training_run_matches_reference_stack(tmp_path):
         np.asarray(trained["head"]["linear"]["kernel"]), lin.weight.detach().numpy().T,
         rtol=2e-3, atol=2e-4, err_msg="trained head kernel diverges",
     )
-    a0 = vt.transformer.resblocks[0].attn
-    np.testing.assert_allclose(
-        np.asarray(trained["peft"]["layers"]["q_b"][0]),
-        a0.q_proj_adapter2.weight.detach().numpy().T,
-        rtol=2e-3, atol=2e-4, err_msg="trained LoRA B factor diverges",
-    )
+    if method == "lora":
+        a0 = vt.transformer.resblocks[0].attn
+        np.testing.assert_allclose(
+            np.asarray(trained["peft"]["layers"]["q_b"][0]),
+            a0.q_proj_adapter2.weight.detach().numpy().T,
+            rtol=2e-3, atol=2e-4, err_msg="trained LoRA B factor diverges",
+        )
+    else:
+        ad0 = vt.transformer.resblocks[0].adapter
+        np.testing.assert_allclose(
+            np.asarray(trained["peft"]["layers"]["down_kernel"][0]),
+            ad0.adapter_down[1].weight.detach().numpy().T,
+            rtol=2e-3, atol=2e-4, err_msg="trained adapter down kernel diverges",
+        )
     np.testing.assert_allclose(
         np.asarray(bn_trained["mean"]), bn.running_mean.detach().numpy(),
         rtol=2e-3, atol=2e-4, err_msg="BN running mean diverges",
