@@ -96,6 +96,7 @@ _C.DATASET.TEST_TSV_LIST = []
 _C.DATASET.COCO = CN(new_allowed=True)
 _C.DATASET.COCO.SCALES = ["m", "l"]
 _C.DATASET.COCO.BALANCE_DATA = True
+_C.DATASET.ALLOW_SYNTHETIC = False  # TPU addition: real ELEVATER names fail loudly without local data unless this opts synthetic fallback in (smoke grid sets it)
 _C.DATASET.NUM_SAMPLES_PER_CLASS = -1
 _C.DATASET.RANDOM_SEED_SAMPLING = 0
 _C.DATASET.MERGE_TRAIN_VAL_FINAL_RUN = True
@@ -206,14 +207,14 @@ _C.DEEPSPEED = CN(new_allowed=True)
 _C.TPU = CN()
 _C.TPU.COMPUTE_DTYPE = "bfloat16"   # activations/matmul dtype; params stay fp32
 _C.TPU.PARITY_FP32 = False          # force fp32 everywhere (parity tests)
-_C.TPU.MESH_DATA = -1               # -1: all devices on the data axis
-_C.TPU.MESH_MODEL = 1               # tensor-parallel axis size
+_C.TPU.MESH_DATA = -1               # batch-DP axis for the single-trial final run/eval: -1 auto (all leftover devices), 0/1 off, >1 cap (also enables trial x data hybrid); consumed by trainer._mesh_plan
+_C.TPU.MESH_MODEL = 1               # tensor-parallel axis size (Megatron col/row specs on the frozen CLIP tree; consumed by trainer._mesh_plan)
 _C.TPU.SWEEP_PARALLEL_TRIALS = 8    # max trials vmapped together PER DEVICE (r2: 8-wide measured 0.64 vs 1.03 s/trial at 4-wide; sweep._run_chunk halves the width automatically if a program exceeds the remote-compiler size limit)
 _C.TPU.SWEEP_TRIALS_OVER_MESH = True  # shard the vmapped trial axis across devices (independent trials -> pure SPMD, no collectives)
 _C.TPU.REMAT = False                # rematerialize transformer blocks (ViT-B fits without; enable for larger models/batches)
 _C.TPU.FAST_LN = False              # LayerNorm stats in activation dtype (speed; off = reference fp32 islands)
+_C.TPU.FAST_LN_SWEEP = False        # FAST_LN for SWEEP stages only (final run keeps fp32 LN); selection-equality gate: tools/fast_ln_gate.py
 _C.TPU.USE_PALLAS_ATTENTION = False  # fused kernel available but XLA + transpose-free layout measured faster in-loop
-_C.TPU.PRELOAD_DEVICE_BATCHES = True
 _C.TPU.MAX_DEVICE_DATA_GB = 4.0     # train splits above this stream from host RAM
 _C.TPU.CHECKPOINT_DIR = ""          # orbax save/resume dir ('' = disabled)
 

@@ -24,9 +24,10 @@ from .partition import combine
 from .trainer import TaskStatic, _loss, model_forward
 
 
-def build_step_fn(static: TaskStatic, preproc: dict, lr_scales=None, forward_fn=None):
+def build_step_fn(static: TaskStatic, preproc: dict, lr_scales=None, forward_fn=None, batch_sharding=None):
     """One training step over an explicit (padded) batch; vmappable over
-    trials with the batch broadcast."""
+    trials with the batch broadcast.  ``batch_sharding`` shards the batch
+    over a "data" mesh axis (same DP semantics as trainer.build_epoch_fn)."""
     _, opt_update = make_optimizer(
         static.optimizer,
         momentum=static.momentum,
@@ -45,6 +46,10 @@ def build_step_fn(static: TaskStatic, preproc: dict, lr_scales=None, forward_fn=
 
     def step(frozen, state, imgs, labels, mask, lr, wd):
         trainable, opt_state, bn_state, rng = state
+        if batch_sharding is not None:
+            imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
+            labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
+            mask = jax.lax.with_sharding_constraint(mask, batch_sharding)
         rng, step_rng = jax.random.split(rng)
         count = jnp.sum(mask)
 
@@ -69,11 +74,17 @@ def build_step_fn(static: TaskStatic, preproc: dict, lr_scales=None, forward_fn=
 class StreamingEpochRunner:
     """Host-side epoch loop with one-batch transfer-ahead prefetch."""
 
-    def __init__(self, task, n_trials: int):
+    def __init__(self, task, n_trials: int, peft_axis=None):
         self.task = task
         st = task.static
-        step = build_step_fn(st, task.preproc, task._lr_scales(), task._forward_fn)
-        batched = jax.vmap(step, in_axes=(None, 0, None, None, None, 0, 0))
+        mesh, _, n_d = task._mesh_plan(n_trials)
+        step = build_step_fn(
+            st, task.preproc, task._lr_scales(), task._forward_fn,
+            batch_sharding=task._batch_sharding(mesh, n_d),
+        )
+        batched = jax.vmap(
+            step, in_axes=(task._frozen_axes(peft_axis), 0, None, None, None, 0, 0)
+        )
         self._step = jax.jit(batched, donate_argnums=(1,))
         self.batch = st.batch_size
 

@@ -273,13 +273,20 @@ def _loss(static: TaskStatic, logits, labels, mask):
 # Jitted epoch / eval builders
 # ---------------------------------------------------------------------------
 
-def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=None, forward_fn=None, wd_mask=None):
+def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=None, forward_fn=None, wd_mask=None, batch_sharding=None):
     """One full training epoch as a single XLA computation.
 
     Returns ``epoch(frozen, images, labels, state, lr, wd) -> state``
     where state = (trainable, opt_state, bn_state, rng).  ``preproc``
     (CLIP mean/std) is baked in as a compile-time constant; ``lr_scales``
     implements TRAIN.TWO_LR per-leaf LR multipliers.
+
+    ``batch_sharding`` (a NamedSharding over a "data" mesh axis) constrains
+    each gathered batch so the forward/backward partitions over the mesh —
+    batch data-parallelism with XLA-inserted gradient/BN-stat all-reduces
+    (SURVEY.md §2.9 DP row; the reference's idle utils/comm.py scaffolding).
+    The dataset itself stays replicated (few-shot splits are small; large
+    splits take the streaming path, which shards each transferred batch).
     """
     B = static.batch_size
     steps = max(1, math.ceil(n_train / B))
@@ -312,6 +319,9 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
             idx = perm[jnp.minimum(pos, n_train - 1)]
             imgs = jnp.take(images, idx, axis=0)
             labs = jnp.take(labels, idx, axis=0)
+            if batch_sharding is not None:
+                imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
+                labs = jax.lax.with_sharding_constraint(labs, batch_sharding)
             step_rng = jax.random.fold_in(drop_rng, i)
             count = jnp.sum(valid)
 
@@ -336,7 +346,7 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
     return epoch
 
 
-def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict, lr_scales=None, forward_fn=None, wd_mask=None):
+def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict, lr_scales=None, forward_fn=None, wd_mask=None, batch_sharding=None):
     """``n_epochs`` of training as ONE XLA computation (one device dispatch).
 
     On this TPU's high-latency link, per-epoch dispatch costs real time; the
@@ -344,7 +354,7 @@ def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict,
     per-epoch LR comes from a precomputed ``lr_table`` argument (step-decay
     schedule resolved on host), preserving reference semantics.
     """
-    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn, wd_mask)
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn, wd_mask, batch_sharding)
 
     def fit(frozen, images, labels, state, lr_table, wd):
         def body(e, state):
@@ -355,10 +365,12 @@ def build_fit_fn(static: TaskStatic, n_train: int, n_epochs: int, preproc: dict,
     return fit
 
 
-def build_eval_fn(static: TaskStatic, preproc: dict, forward_fn=None):
+def build_eval_fn(static: TaskStatic, preproc: dict, forward_fn=None, batch_sharding=None):
     """Chunked, jit-friendly eval forward: returns fp32 logits for a chunk."""
 
     def eval_chunk(frozen, trainable, bn_state, imgs):
+        if batch_sharding is not None:
+            imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
         bundle = combine(trainable, frozen)
         logits, _ = model_forward(
             static, bundle, bn_state, imgs, preproc, train=False, rng=None, mask=None,
@@ -380,6 +392,7 @@ def build_fit_eval_fn(
     lr_scales=None,
     forward_fn=None,
     wd_mask=None,
+    batch_sharding=None,
 ):
     """Train ``n_epochs`` AND evaluate after every epoch, in ONE dispatch.
 
@@ -392,11 +405,13 @@ def build_fit_eval_fn(
 
     ``val_images`` must arrive padded to ``n_val_chunks * eval_chunk``.
     """
-    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn, wd_mask)
+    epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn, wd_mask, batch_sharding)
 
     def fit_eval(frozen, images, labels, val_images, state, lr_table, wd):
         def eval_all(trainable, bn_state):
             def one_chunk(imgs):
+                if batch_sharding is not None:
+                    imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
                 bundle = combine(trainable, frozen)
                 logits, _ = model_forward(
                     static, bundle, bn_state, imgs, preproc, train=False, rng=None, mask=None,
@@ -462,9 +477,7 @@ class TrainTask:
         self.metric_name = getattr(self.metric, "__name__", "accuracy")
         self._epoch_cache: dict = {}
         self._eval_cache: dict = {}
-        from ..core.layers import set_fast_ln
-
-        set_fast_ln(static.fast_ln)  # trace-time switch; see core/layers.py
+        self._apply_fast_ln()
         opt_init, _ = make_optimizer(
             static.optimizer, momentum=static.momentum, nesterov=static.nesterov
         )
@@ -473,6 +486,29 @@ class TrainTask:
         std = np.asarray(config.INPUT.STD, np.float32)
         self.preproc = {"mean": jnp.asarray(mean), "std": jnp.asarray(std)}
         self._prepack_jit = None
+
+    def _apply_fast_ln(self):
+        """Set the trace-time LN switch to THIS task's flavour.
+
+        Called at the top of every train/eval entry point (not just __init__)
+        so two tasks with different ``fast_ln`` can interleave — the
+        sweep-only FAST_LN scheme (sweep.py) runs trial stages on a
+        fast-LN clone while the final run keeps the reference's fp32 LN
+        islands (model.py:154-160).  The global only matters while TRACING;
+        each task's jit cache entries were traced under its own flag."""
+        from ..core.layers import set_fast_ln
+
+        set_fast_ln(self.static.fast_ln)
+
+    def clone_with(self, **static_overrides) -> "TrainTask":
+        """A task sharing this one's (device-resident) weights and head init
+        but with a modified TaskStatic (fresh jit caches)."""
+        static = dataclasses.replace(self.static, **static_overrides)
+        return TrainTask(
+            self.config, static, self.clip_params,
+            text_init_weights=self.text_init_weights,
+            eval_chunk=self.eval_chunk, backbone=self.backbone,
+        )
 
     # -- fast input path ------------------------------------------------------
 
@@ -596,20 +632,54 @@ class TrainTask:
         trainable, _, _ = self.init_bundle(jax.random.PRNGKey(0))
         return build_wd_mask(trainable, self.static.without_wd, timm_filter=self.static.timm_filter)
 
-    def _trial_mesh(self, n_trials: int):
-        """1-axis 'trial' mesh when several devices can each take whole
-        trials; None on a single device / indivisible counts / disabled."""
-        if not bool(self.config.TPU.get("SWEEP_TRIALS_OVER_MESH", True)):
-            return None
+    def _mesh_plan(self, n_trials: int):
+        """(mesh, n_trial, n_data) — the device mesh for this trial batch.
+
+        Trials claim devices first (independent trainings -> pure SPMD, no
+        collectives); for a SINGLE trial — the final run and its eval, the
+        wall-clock-dominant block (sweep stages are <1 min of a ~5 min
+        (dataset, seed) run) — the devices form a "data" axis instead and the
+        batch shards across it (TPU.MESH_DATA; reference scaffolding
+        utils/comm.py:12-65, LRxworld_size at config/default.py:257).
+        TPU.MESH_DATA: -1 auto (all leftover devices), 0/1 off, >1 cap.
+        Returns (None, 1, 1) when both axes collapse.
+        """
         devs = jax.devices()
-        n = min(len(devs), n_trials)
-        while n > 1 and n_trials % n:
-            n -= 1
-        if n <= 1:
-            return None
+        D = len(devs)
+        if D <= 1:
+            return None, 1, 1
+        # tensor-parallel axis (TPU.MESH_MODEL): Megatron col/row specs on the
+        # frozen CLIP tree (parallel/mesh.py) — a config knob, not a rewrite.
+        # ViT-B fits per chip, so TP stays 1 unless explicitly requested.
+        n_m = max(1, int(self.config.TPU.get("MESH_MODEL", 1)))
+        if n_m > 1 and (self.backbone is not None or D // n_m < 1):
+            n_m = 1
+        D_td = D // n_m
+        n_t = 1
+        if bool(self.config.TPU.get("SWEEP_TRIALS_OVER_MESH", True)) and n_trials > 1:
+            n_t = min(D_td, n_trials)
+            while n_t > 1 and n_trials % n_t:
+                n_t -= 1
+        md = int(self.config.TPU.get("MESH_DATA", -1))
+        if md >= 0 and md <= 1:
+            n_d = 1
+        elif n_trials == 1 or md > 1:
+            # auto mode engages batch-DP for the single-trial final run/eval;
+            # MESH_DATA>1 additionally allows a (trial x data) hybrid
+            n_d = D_td // n_t if md < 0 else min(D_td // n_t, md)
+        else:
+            n_d = 1
+        # at least 2 examples per shard, or the per-device GEMMs degenerate
+        n_d = min(n_d, max(1, self.static.batch_size // 2))
+        if n_t == 1 and n_d == 1 and n_m == 1:
+            return None, 1, 1
         from jax.sharding import Mesh
 
-        return Mesh(np.asarray(devs[:n]), ("trial",))
+        mesh = Mesh(
+            np.asarray(devs[: n_t * n_d * n_m]).reshape(n_t, n_d, n_m),
+            ("trial", "data", "model"),
+        )
+        return mesh, n_t, n_d
 
     def max_parallel_trials(self) -> int:
         """Per-dispatch trial budget: SWEEP_PARALLEL_TRIALS per device times
@@ -620,16 +690,24 @@ class TrainTask:
             return per_dev
         return per_dev * max(1, len(jax.devices()))
 
-    def _epoch_fn(self, n_train: int, n_trials: int):
-        key = (n_train, n_trials)
+    def _frozen_axes(self, peft_axis):
+        """vmap in_axes prefix for the frozen bundle: the CLIP tower + head
+        statics broadcast, the frozen PEFT subtree optionally carries a
+        per-trial leading axis (``peft_axis=0``) — see train_trials."""
+        if peft_axis is None:
+            return None
+        return {"clip": None, "peft": peft_axis, "head": None}
+
+    def _epoch_fn(self, n_train: int, n_trials: int, batch_sharding=None, peft_axis=None):
+        key = (n_train, n_trials, batch_sharding, peft_axis)
         if key not in self._epoch_cache:
-            epoch = build_epoch_fn(self.static, n_train, self.preproc, self._lr_scales(), self._forward_fn, self._wd_mask())
-            batched = jax.vmap(epoch, in_axes=(None, None, None, 0, 0, 0))
+            epoch = build_epoch_fn(self.static, n_train, self.preproc, self._lr_scales(), self._forward_fn, self._wd_mask(), batch_sharding)
+            batched = jax.vmap(epoch, in_axes=(self._frozen_axes(peft_axis), None, None, 0, 0, 0))
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(3,))
         return self._epoch_cache[key]
 
-    def _fit_eval_fn(self, n_train: int, n_epochs: int, n_val_chunks: int, n_trials: int):
-        key = (n_train, n_epochs, n_val_chunks, n_trials)
+    def _fit_eval_fn(self, n_train: int, n_epochs: int, n_val_chunks: int, n_trials: int, batch_sharding=None, peft_axis=None):
+        key = (n_train, n_epochs, n_val_chunks, n_trials, batch_sharding, peft_axis)
         if key not in self._epoch_cache:
             fe = build_fit_eval_fn(
                 self.static,
@@ -641,29 +719,43 @@ class TrainTask:
                 lr_scales=self._lr_scales(),
                 forward_fn=self._forward_fn,
                 wd_mask=self._wd_mask(),
+                batch_sharding=batch_sharding,
             )
-            batched = jax.vmap(fe, in_axes=(None, None, None, None, 0, 0, 0))
+            batched = jax.vmap(fe, in_axes=(self._frozen_axes(peft_axis), None, None, None, 0, 0, 0))
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(4,))
         return self._epoch_cache[key]
 
-    def _eval_fn(self, n_trials: int):
-        key = n_trials
+    def _eval_fn(self, n_trials: int, batch_sharding=None, peft_axis=None):
+        key = (n_trials, batch_sharding, peft_axis)
         if key not in self._eval_cache:
-            ev = build_eval_fn(self.static, self.preproc, self._forward_fn)
-            batched = jax.vmap(ev, in_axes=(None, 0, 0, None))
+            ev = build_eval_fn(self.static, self.preproc, self._forward_fn, batch_sharding)
+            batched = jax.vmap(ev, in_axes=(self._frozen_axes(peft_axis), 0, 0, None))
             self._eval_cache[key] = jax.jit(batched)
         return self._eval_cache[key]
 
+    def _batch_sharding(self, mesh, n_d: int):
+        """NamedSharding that shards a batch's leading axis on "data"."""
+        if mesh is None or n_d <= 1:
+            return None
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        return NamedSharding(mesh, P("data"))
+
     # -- evaluation -----------------------------------------------------------
 
-    def evaluate(self, frozen, trainable_stack, bn_stack, images_u8, labels, n_trials: int):
+    def evaluate(self, frozen, trainable_stack, bn_stack, images_u8, labels, n_trials: int, *, frozen_peft_axis=None):
         """Eval all trials over the full split; returns (scores, probs list).
 
         Logits gather chunk-by-chunk (device) -> softmax + metric (host,
         exactly like the reference's sklearn/vision-evaluation path).
+        ``frozen_peft_axis=0`` when ``frozen["peft"]`` carries a per-trial
+        leading axis (see train_trials).
         """
+        self._apply_fast_ln()
         n = labels.shape[0]
-        ev = self._eval_fn(n_trials)
+        mesh, _, n_d = self._mesh_plan(n_trials)
+        ev = self._eval_fn(n_trials, self._batch_sharding(mesh, n_d), frozen_peft_axis)
         chunks = []
         for s in range(0, n, self.eval_chunk):
             e = min(s + self.eval_chunk, n)
@@ -695,6 +787,7 @@ class TrainTask:
     def _train_trials_streaming(
         self, hparams, train_images, train_labels, val_images, val_labels, *,
         state, frozen, begin_epoch, end_epoch, seed, keep_logits, log_every, results,
+        peft_axis=None,
     ):
         """Host-streaming fallback for HBM-exceeding train splits."""
         from .streaming import StreamingEpochRunner
@@ -703,7 +796,7 @@ class TrainTask:
         lrs = [h[0] for h in hparams]
         wds = jnp.asarray([h[1] for h in hparams], jnp.float32)
         schedule = list(self.config.TRAIN.SCHEDULE or [])
-        runner = StreamingEpochRunner(self, T)
+        runner = StreamingEpochRunner(self, T, peft_axis=peft_axis)
         val_images = self.prepack(val_images)
         logging.info(
             "streaming path: %d train images (%.1f GB) stay host-resident",
@@ -718,7 +811,8 @@ class TrainTask:
                     frozen, state, train_images, train_labels, lr_e, wds, seed=seed * 1000 + epoch
                 )
             scores, probs = self.evaluate(
-                frozen, state[0], state[2], val_images, val_labels, T
+                frozen, state[0], state[2], val_images, val_labels, T,
+                frozen_peft_axis=peft_axis,
             )
             for t in range(T):
                 results[t]["last_score"] = scores[t]
@@ -757,26 +851,35 @@ class TrainTask:
 
         Returns per-trial dicts: {"best_score", "last_score", "best_logits"}.
         """
+        self._apply_fast_ln()
         st = self.static
         T = len(hparams)
         n_train = int(train_labels.shape[0])
 
         # per-trial init (distributional parity: fresh init per trial like the
-        # reference's per-trial model rebuild)
+        # reference's per-trial model rebuild).  Frozen-but-random PEFT leaves
+        # (compacter's shared phm_rule, U(-1,1) at init and NEVER trained —
+        # compacter_model.py:513-514 + the 'compacter' substring freeze) are
+        # ALSO redrawn per trial and ride a vmapped axis, exactly like the
+        # reference's per-rebuild redraw; only the CLIP tower (identical
+        # across rebuilds once real weights load) is shared.
+        frozen = None
+        frozen_pefts = []
         base_rng = jax.random.PRNGKey(seed)
         trial_rngs = jax.random.split(jax.random.fold_in(base_rng, 17), T)
-        # NOTE: the frozen tree (CLIP weights + non-trainable PEFT leaves such
-        # as compacter's shared phm_rule) is taken from trial 0 and shared by
-        # the whole vmapped batch; the reference redraws frozen-random leaves
-        # per trial rebuild, which is only a distributional difference.
-        frozen = None
         trainables, bns = [], []
         for t in range(T):
             trainable, frozen_t, bn_state = self.init_bundle(trial_rngs[t])
             if frozen is None:
                 frozen = frozen_t
+            frozen_pefts.append(frozen_t["peft"])
             trainables.append(trainable)
             bns.append(bn_state)
+        peft_axis = None
+        if frozen_pefts[0] is not None and jax.tree.leaves(frozen_pefts[0]):
+            peft_axis = 0
+            frozen = dict(frozen)
+            frozen["peft"] = jax.tree.map(lambda *xs: jnp.stack(xs), *frozen_pefts)
         trainable_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *trainables)
         bn_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *bns)
         opt_stack = self._opt_init(trainable_stack)
@@ -803,7 +906,7 @@ class TrainTask:
                 hparams, train_images, train_labels, val_images, val_labels,
                 state=state, frozen=frozen, begin_epoch=begin_epoch,
                 end_epoch=end_epoch, seed=seed, keep_logits=keep_logits,
-                log_every=log_every, results=results,
+                log_every=log_every, results=results, peft_axis=peft_axis,
             )
         train_images = self.prepack(train_images)
         if isinstance(train_labels, np.ndarray):
@@ -832,27 +935,54 @@ class TrainTask:
             jnp.float32,
         )
 
-        # --- trial-parallel mesh -------------------------------------------
+        # --- device mesh ----------------------------------------------------
         # HP-sweep trials are data-independent, so the vmapped trial axis
         # shards across devices as pure SPMD (no collectives): N chips run N
         # sweep trials concurrently.  The reference runs its ~90 trainings
         # strictly sequentially on one GPU (kadaptation_clip.py:188-243).
-        mesh = self._trial_mesh(T)
+        # A single trial (the final run) instead shards its BATCH over a
+        # "data" axis — classic DP with XLA-inserted grad all-reduces — so
+        # the 50-epoch final run uses the whole mesh, not 1/N of it.
+        mesh, n_t, n_d = self._mesh_plan(T)
+        batch_sharding = self._batch_sharding(mesh, n_d)
         if mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
 
-            trial_sh = NamedSharding(mesh, P("trial"))
+            trial_sh = NamedSharding(mesh, P("trial") if n_t > 1 else P())
             repl = NamedSharding(mesh, P())
             put = lambda sh: (lambda x: jax.device_put(x, sh))
             state = jax.tree.map(put(trial_sh), state)
             lr_tables = jax.device_put(lr_tables, trial_sh)
             wds = jax.device_put(jnp.asarray(wds), trial_sh)
-            frozen = jax.tree.map(put(repl), frozen)
+            n_m = mesh.shape.get("model", 1)
+            if n_m > 1 and self.backbone is None:
+                # tensor parallelism: Megatron col/row specs on the frozen
+                # CLIP transformer (parallel/mesh.py:33-49); GSPMD inserts
+                # the all-reduces
+                from ..parallel.mesh import clip_param_specs
+
+                specs = clip_param_specs(frozen["clip"])
+                clip_put = jax.tree.map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    frozen["clip"], specs,
+                )
+            else:
+                clip_put = jax.tree.map(put(repl), frozen["clip"])
+            frozen = {
+                "clip": clip_put,
+                "peft": jax.tree.map(
+                    put(trial_sh if peft_axis == 0 else repl), frozen["peft"]
+                ),
+                "head": jax.tree.map(put(repl), frozen["head"]),
+            }
             train_images = jax.device_put(train_images, repl)
             train_labels = jax.device_put(train_labels, repl)
             val_padded = jax.device_put(val_padded, repl)
-            logging.info("trial mesh: %d trials over %d devices", T, mesh.devices.size)
+            logging.info(
+                "device mesh: %d trials over (trial=%d, data=%d) of %d devices",
+                T, n_t, n_d, len(jax.devices()),
+            )
 
         # the ENTIRE (train -> per-epoch eval) ladder for all trials runs as
         # one device dispatch; metric/selection happens on host afterwards
@@ -860,7 +990,7 @@ class TrainTask:
         saved_chunk = self.eval_chunk
         self.eval_chunk = chunk
         try:
-            fit_eval = self._fit_eval_fn(n_train, n_epochs, n_chunks, T)
+            fit_eval = self._fit_eval_fn(n_train, n_epochs, n_chunks, T, batch_sharding, peft_axis)
         finally:
             self.eval_chunk = saved_chunk
         t0 = time.time()

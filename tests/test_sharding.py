@@ -174,3 +174,74 @@ def test_trial_parallel_sweep_matches_single_device():
     res3 = task3.train_trials(hparams[:8], tx, ty, jnp.asarray(vx), jnp.asarray(vy),
                               end_epoch=3, seed=0)
     assert all(np.isfinite(r["best_score"]) for r in res3)
+
+
+def test_single_trial_final_run_batch_dp():
+    """The 1-trial FINAL run batch-DP-shards over the mesh (TPU.MESH_DATA).
+
+    The sweep's trial axis can't help a single trial; trainer._mesh_plan
+    instead puts all devices on a "data" axis and constrains each gathered
+    batch to it, so the 50-epoch final run — the wall-clock-dominant block —
+    uses the whole mesh.  DP result == unsharded result to fp32
+    reduction-order tolerance (partitioned batch sums re-associate adds,
+    so bitwise equality is impossible by construction)."""
+    cfg, static, task = _setup("kadaptation")
+
+    rng = np.random.default_rng(5)
+    tx = rng.integers(0, 255, (48, 32, 32, 3), dtype=np.uint8)
+    ty = rng.integers(0, 4, (48,)).astype(np.int32)
+    vx, vy = jnp.asarray(tx[:16]), jnp.asarray(ty[:16])
+
+    def run(mesh_data):
+        cfg.TPU.MESH_DATA = mesh_data
+        t = TrainTask(cfg, static, task.clip_params, eval_chunk=16)
+        _, n_t, n_d = t._mesh_plan(1)
+        res = t.train_trials([(1e-2, 1e-4)], tx, ty, vx, vy, end_epoch=2, seed=0,
+                             keep_logits=True)
+        trained = jax.tree.map(lambda a: np.asarray(a[0]), t._last_state[0])
+        return (n_t, n_d), res[0], trained
+
+    plan_dp, res_dp, trained_dp = run(-1)
+    plan_off, res_off, trained_off = run(1)
+    assert plan_dp == (1, 8), plan_dp   # zero-flag default engages the mesh
+    assert plan_off == (1, 1), plan_off # MESH_DATA=1 disables it
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(trained_dp),
+        jax.tree_util.tree_leaves_with_path(trained_off),
+    ):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6, err_msg=str(pa))
+    np.testing.assert_allclose(res_dp["best_logits"], res_off["best_logits"], atol=1e-5)
+    assert res_dp["best_score"] == pytest.approx(res_off["best_score"], abs=1e-6)
+
+
+def test_mesh_model_tensor_parallel_matches():
+    """TPU.MESH_MODEL=2 engages Megatron TP on the frozen CLIP tree inside
+    train_trials (a (trial=1, data=4, model=2) mesh here): result equals the
+    unsharded run to fp32 reduction-order tolerance."""
+    cfg, static, task = _setup("lora")
+
+    rng = np.random.default_rng(9)
+    tx = rng.integers(0, 255, (32, 32, 32, 3), dtype=np.uint8)
+    ty = rng.integers(0, 4, (32,)).astype(np.int32)
+    vx, vy = jnp.asarray(tx[:16]), jnp.asarray(ty[:16])
+
+    def run(n_model, mesh_data):
+        cfg.TPU.MESH_MODEL = n_model
+        cfg.TPU.MESH_DATA = mesh_data
+        t = TrainTask(cfg, static, task.clip_params, eval_chunk=16)
+        mesh, n_t, n_d = t._mesh_plan(1)
+        res = t.train_trials([(1e-2, 1e-4)], tx, ty, vx, vy, end_epoch=2, seed=0)
+        trained = jax.tree.map(lambda a: np.asarray(a[0]), t._last_state[0])
+        n_m = mesh.shape.get("model", 1) if mesh is not None else 1
+        return (n_t, n_d, n_m), res[0], trained
+
+    plan_tp, res_tp, trained_tp = run(2, -1)
+    plan_off, res_off, trained_off = run(1, 1)
+    assert plan_tp == (1, 4, 2), plan_tp
+    assert plan_off == (1, 1, 1), plan_off
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(trained_tp),
+        jax.tree_util.tree_leaves_with_path(trained_off),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=2e-6, err_msg=str(pa))
+    assert np.isfinite(res_tp["best_score"])

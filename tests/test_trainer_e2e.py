@@ -127,3 +127,29 @@ def test_multilabel_bce_path():
         [(0.01, 1e-4)], train_x, onehot, train_x, onehot, end_epoch=4, seed=0
     )[0]
     assert res["best_score"] > 60.0
+
+
+def test_compacter_trials_draw_distinct_frozen_rules():
+    """Frozen-but-random PEFT leaves (compacter's shared phm_rule, U(-1,1),
+    never trained) are redrawn PER TRIAL like the reference's per-trial
+    model rebuild (compacter_model.py:513-514 + rebuild at
+    kadaptation_clip.py:260) — trials in one vmapped batch see DIFFERENT
+    draws, and the batched run equals the same trials run in smaller
+    batches (prefix-consistent trial rngs)."""
+    train_x, train_y = synth_data(8, seed=4)
+    val_x, val_y = synth_data(4, seed=5)
+    hparams = [(0.01, 1e-4), (0.001, 1e-2)]
+
+    task, cfg0 = make_task("compacter")
+    cfg0.TPU.SWEEP_TRIALS_OVER_MESH = False
+    batched = task.train_trials(hparams, train_x, train_y, val_x, val_y, end_epoch=2, seed=0)
+
+    frozen = task._last_frozen
+    rules = np.asarray(jax.tree.leaves(frozen["peft"])[0])
+    assert rules.shape[0] == 2, "frozen phm_rule must carry a per-trial axis"
+    assert not np.allclose(rules[0], rules[1]), "trials must get DISTINCT frozen draws"
+
+    task1, cfg1 = make_task("compacter")
+    cfg1.TPU.SWEEP_TRIALS_OVER_MESH = False
+    seq0 = task1.train_trials(hparams[:1], train_x, train_y, val_x, val_y, end_epoch=2, seed=0)
+    assert batched[0]["best_score"] == pytest.approx(seq0[0]["best_score"], abs=1e-3)
