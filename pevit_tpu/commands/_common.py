@@ -214,7 +214,10 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
         )
 
     if is_clip:
-        ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
+        # the published launch scripts pass TEST.MODEL_FILE '.' as a
+        # "no checkpoint" placeholder (reference scripts/run_multi.sh)
+        model_file = config.TEST.MODEL_FILE if config.TEST.MODEL_FILE != "." else ""
+        ckpt = model_file or config.MODEL.PRETRAINED or None
         from ..core.resnet import RN_SPECS
 
         clip_params, spec = load_clip(
@@ -276,6 +279,7 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
         task, data, config,
         no_tuning=args.no_tuning, lr=args.lr, l2=args.l2,
         seed=args.fix_seed if args.fix_seed != -1 else 0,
+        rebuild_data=lambda: load_device_data(config),
     )
 
     if args.save_predictions:

@@ -95,6 +95,22 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
     max_parallel = task.max_parallel_trials()
     wd_search_left = config.TRAIN.WD_SEARCH_LEFT
 
+    # Sweep-only FAST_LN: the sweep needs only the RELATIVE ordering of
+    # trials, so its stages may run LayerNorm stats in the activation dtype
+    # (+~5% at B/32 — ARCHITECTURE.md perf notes) while the FINAL run keeps
+    # the reference's fp32 LN islands (model.py:154-160).  Gated by
+    # TPU.FAST_LN_SWEEP; selection equality validated by
+    # tools/fast_ln_gate.py.  Irrelevant (and skipped) when the whole run is
+    # already fast-LN, fp32, or on a non-CLIP backbone.
+    if (
+        bool(config.TPU.get("FAST_LN_SWEEP", False))
+        and not task.static.fast_ln
+        and not task.static.highest_precision
+        and task.static.compute_dtype == "bfloat16"
+    ):
+        task = task.clone_with(fast_ln=True)
+        logging.info("sweep stages run with FAST_LN (final run keeps fp32 LN)")
+
     # per-LR walk state
     peak_idx = {lr: -1 for lr in lrs}
     peak_score = {lr: 0.0 for lr in lrs}
@@ -147,10 +163,13 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
     return best_lr, best_wd
 
 
-def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2: float, seed: int = 0):
+def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2: float, seed: int = 0, rebuild_data=None):
     """Full method driver (reference ``kadapt_clip`` et al.,
     kadaptation_clip.py:488-520): optional sweep -> final run on merged
-    train+val with END_EPOCH + EXTRA_FINAL_TRAIN_EPOCH."""
+    train+val with END_EPOCH + EXTRA_FINAL_TRAIN_EPOCH.
+
+    ``rebuild_data()`` regenerates the full split tuple under the CURRENT
+    config — used by the patch-camelyon restore below."""
     train_x, train_y, val_x, val_y, test_x, test_y = data
 
     if no_tuning:
@@ -163,6 +182,29 @@ def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2:
     logging.info("=> The final classifier is on training ...")
     logging.info("Hyperparameters: learning_rate = %s, l2_lambda = %s", best_lr, best_wd)
     end_epoch = config.TRAIN.END_EPOCH + config.TRAIN.EXTRA_FINAL_TRAIN_EPOCH
+
+    if (
+        config.DATASET.DATASET == "patch-camelyon"
+        and config.DATASET.NUM_SAMPLES_PER_CLASS == 10000
+        and rebuild_data is not None
+    ):
+        # the sweep searched on the 10000-shot subset; the FINAL run trains
+        # on the regenerated full dataset (kadaptation_clip.py:504-512).
+        # The mutated config also makes the artifact record n_shot=-1, like
+        # the reference's in-place defrost does.
+        logging.info("Used the subset to train the model, regenerating the full set for final run.")
+        config.defrost()
+        config.DATASET.NUM_SAMPLES_PER_CLASS = -1
+        config.freeze()
+        logging.info(
+            "Old: len(train)=%d, len(val)=%d, len(test)=%d.",
+            train_y.shape[0], val_y.shape[0], test_y.shape[0],
+        )
+        train_x, train_y, val_x, val_y, test_x, test_y = rebuild_data()
+        logging.info(
+            "Generated: len(train)=%d, len(val)=%d, len(test)=%d.",
+            train_y.shape[0], val_y.shape[0], test_y.shape[0],
+        )
 
     if config.DATASET.MERGE_TRAIN_VAL_FINAL_RUN:
         import numpy as _np
@@ -197,6 +239,8 @@ def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2:
 
     final_trainable = jax.tree.map(lambda a: a[0], task._last_state[0])
     model_info = task.model_info(final_trainable)
+    model_info["best_lr"] = float(best_lr)
+    model_info["best_l2_lambda"] = float(best_wd)
 
     # Checkpoint the tiny trainable state (the reference never saves training
     # state — SURVEY.md §5.4; we add proper save/resume via Orbax)

@@ -135,3 +135,39 @@ def test_run_chunk_halves_on_device_error():
     task1 = FlakyTask(cfg, score, max_width=0)
     with pytest.raises(JaxRuntimeError):
         sweep_mod._run_stage(task1, jobs[:1], data, end_epoch=1, seed=0, max_parallel=8)
+
+
+def test_fast_ln_sweep_stages_use_clone():
+    """TPU.FAST_LN_SWEEP routes sweep STAGES through a fast-LN clone while
+    the caller's task (the final run) keeps reference fp32 LN (sweep.py)."""
+    import types
+
+    cfg = get_default_config()
+    cfg.TPU.FAST_LN_SWEEP = True
+    log = []
+
+    class LnTask(FakeTask):
+        def __init__(self, config, score_fn, fast_ln=False):
+            super().__init__(config, score_fn)
+            self.static = types.SimpleNamespace(
+                fast_ln=fast_ln, highest_precision=False, compute_dtype="bfloat16"
+            )
+
+        def clone_with(self, **overrides):
+            return LnTask(self.config, self.score_fn, fast_ln=overrides["fast_ln"])
+
+        def train_trials(self, hparams, *a, **k):
+            log.append(self.static.fast_ln)
+            return super().train_trials(hparams, *a, **k)
+
+    task = LnTask(cfg, lambda lr, wd: lr + wd)
+    sweep_mod.hyperparameter_sweep_lr(task, (None, None, None, None), cfg, seed=0)
+    assert log and all(log), "every sweep stage must run on the fast-LN clone"
+    assert not task.static.fast_ln, "the caller's task (final run) stays fp32-LN"
+
+    # fp32 compute never engages the scheme (fast LN == fp32 LN there)
+    log.clear()
+    t32 = LnTask(cfg, lambda lr, wd: lr + wd)
+    t32.static.compute_dtype = "float32"
+    sweep_mod.hyperparameter_sweep_lr(t32, (None, None, None, None), cfg, seed=0)
+    assert log and not any(log)
