@@ -40,6 +40,9 @@ class PeftConfig:
 
     method: str = "linear_probe"
     reference_compat: bool = True
+    # KAdaptation Dropout(0.5)-on-H override (model.py:516); parity tests set
+    # 0.0 to make the whole training trajectory deterministic on both stacks
+    kadapt_dropout_p: float = _kadaptation.KDROPOUT_P
 
     def __post_init__(self):
         if self.method not in ALL_METHODS:
@@ -80,6 +83,7 @@ def make_hooks(cfg: PeftConfig, spec: CLIPSpec, train: bool) -> Optional[BlockHo
                 n_head=n_head,
                 train=train,
                 reference_compat=cfg.reference_compat,
+                dropout_p=cfg.kadapt_dropout_p,
             )
         )
     if cfg.method == "lora":

@@ -98,15 +98,19 @@ def attn_delta(
     n_head: int,
     train: bool = False,
     reference_compat: bool = True,
+    dropout_p: float = KDROPOUT_P,
 ):
-    """Compute (q_delta, v_delta) in (B, H, N, hd) layout for (B, N, C) x."""
+    """Compute (q_delta, v_delta) in (B, H, N, hd) layout for (B, N, C) x.
+
+    ``dropout_p`` overrides the reference's Dropout(0.5) on H (model.py:516)
+    — parity tests force 0 to make the training trajectory deterministic."""
     B, N, C = x.shape
     hd = C // n_head
     h_q, h_v = delta_weights(shared, layer, reference_compat=reference_compat)
 
-    if train:
+    if train and dropout_p > 0:
         kq, kv = jax.random.split(rng)
-        keep = 1.0 - KDROPOUT_P
+        keep = 1.0 - dropout_p
         h_q = h_q * jax.random.bernoulli(kq, keep, h_q.shape) / keep
         h_v = h_v * jax.random.bernoulli(kv, keep, h_v.shape) / keep
 

@@ -9,8 +9,12 @@ itself, against OUR whole-run jitted fit on the identical data, weights and
 batch order.  Final logits (eval mode, trained BN stats included) and
 trained weights must agree to fp32 tolerance.
 
-LoRA and the bottleneck adapter have no dropout anywhere, so both
-trajectories are deterministic (parametrized over both methods).  The batch order is replicated by replaying the trainer's
+All 4 PEFT methods run whole-training-run parity: LoRA, the bottleneck
+adapter and Compacter have no dropout anywhere, so their trajectories are
+deterministic as-is; KAdaptation's Dropout(0.5)-on-H is forced to p=0 on
+BOTH stacks (train-mode semantics otherwise intact — the dropout behaviour
+itself is covered by test_kadaptation_train_dropout_statistics).
+The batch order is replicated by replaying the trainer's
 RNG discipline (trainer.py:305-306: per-epoch ``rng, perm_rng, drop_rng =
 split(rng, 3)``); if that discipline changes, update `_trainer_perms`.
 Order matters MORE than floats here: the reference's raw-reshape scramble
@@ -37,12 +41,27 @@ from tests.test_reference_torch_parity import (
     RES,
     SPEC,
     _build_adapter,
+    _build_compacter,
+    _build_kadapt,
     _build_lora,
     torch,
 )
 
 K, N, B, EPOCHS = 4, 16, 8, 3
 LR, WD = 0.01, 1e-4
+
+
+def _torch_trainable(method, vt):
+    """The reference's name-substring freeze predicate
+    (kadaptation_clip.py:118-122, adapter_tuning_clip.py:116,
+    lora_clip.py:120, compacter_clip.py:122)."""
+    if method == "compacter":
+        pred = lambda n: "compacter" in n  # shared transformer.phm_rule stays frozen
+    elif method == "kadaptation":
+        pred = lambda n: ("adapter" in n) or ("phm_rule" in n) or ("attn.b" in n)
+    else:
+        pred = lambda n: "adapter" in n
+    return [p for n, p in vt.named_parameters() if pred(n)]
 
 
 def _trainer_perms(seed_key, n, epochs):
@@ -57,10 +76,24 @@ def _trainer_perms(seed_key, n, epochs):
 
 @pytest.mark.slow
 @pytest.mark.parametrize(
-    "method,builder", [("lora", _build_lora), ("adapter", _build_adapter)]
+    "method,builder",
+    [
+        ("lora", _build_lora),
+        ("adapter", _build_adapter),
+        ("compacter", _build_compacter),
+        ("kadaptation", _build_kadapt),
+    ],
 )
 def test_full_training_run_matches_reference_stack(tmp_path, method, builder):
+    """LoRA, adapter and Compacter have no dropout anywhere; KAdaptation's
+    only stochastic piece is Dropout(0.5) on the weight matrix H
+    (model.py:516), which both sides force to p=0 here (train-mode semantics
+    otherwise intact; the dropout itself is covered by
+    test_kadaptation_train_dropout_statistics)."""
     vt, params, peft = builder()  # reference torch model + converted trees
+    if method == "kadaptation":
+        for blk in vt.transformer.resblocks:
+            blk.attn.kdropout.p = 0.0
 
     cfg = get_default_config()
     cfg.defrost()
@@ -70,11 +103,22 @@ def test_full_training_run_matches_reference_stack(tmp_path, method, builder):
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.freeze()
 
-    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method=method))
+    peft_cfg = (
+        PeftConfig(method="kadaptation", kadapt_dropout_p=0.0)
+        if method == "kadaptation"
+        else PeftConfig(method=method)
+    )
+    static = TaskStatic.from_config(cfg, SPEC, peft_cfg)
     task = TrainTask(cfg, static, params)
     trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
-    # inject the reference's exact PEFT parameters
+    # inject the reference's exact PEFT parameters into the right partitions
     trainable["peft"]["layers"] = peft["layers"]
+    if method == "kadaptation":
+        trainable["peft"]["shared"] = peft["shared"]
+    elif method == "compacter":
+        # the shared phm_rule is FROZEN (name 'transformer.phm_rule' misses
+        # the 'compacter' substring match — peft/base.py docstring)
+        frozen["peft"]["shared"] = peft["shared"]
 
     rng = np.random.default_rng(11)
     images_u8 = rng.integers(0, 255, (N, RES, RES, 3), dtype=np.uint8)
@@ -108,7 +152,7 @@ def test_full_training_run_matches_reference_stack(tmp_path, method, builder):
 
     vt.train()
     bn.train()
-    train_params = [p for n, p in vt.named_parameters() if "adapter" in n]
+    train_params = _torch_trainable(method, vt)
     train_params += list(lin.parameters())
     # mirror the fit's optimizer settings exactly (config defaults include
     # nesterov=True — reference config/default.py parity)
@@ -133,17 +177,40 @@ def test_full_training_run_matches_reference_stack(tmp_path, method, builder):
     )
     if method == "lora":
         a0 = vt.transformer.resblocks[0].attn
-        np.testing.assert_allclose(
-            np.asarray(trained["peft"]["layers"]["q_b"][0]),
-            a0.q_proj_adapter2.weight.detach().numpy().T,
-            rtol=2e-3, atol=2e-4, err_msg="trained LoRA B factor diverges",
-        )
-    else:
+        peft_compares = [
+            ("q_b", trained["peft"]["layers"]["q_b"][0], a0.q_proj_adapter2.weight.detach().numpy().T),
+            ("v_a", trained["peft"]["layers"]["v_a"][0], a0.v_proj_adapter1.weight.detach().numpy().T),
+        ]
+    elif method == "adapter":
         ad0 = vt.transformer.resblocks[0].adapter
+        peft_compares = [
+            ("down_kernel", trained["peft"]["layers"]["down_kernel"][0], ad0.adapter_down[1].weight.detach().numpy().T),
+            ("up_bias", trained["peft"]["layers"]["up_bias"][0], ad0.adapter_up.bias.detach().numpy()),
+        ]
+    elif method == "compacter":
+        c0 = vt.transformer.resblocks[0].compacter
+        peft_compares = [
+            ("down_w_left", trained["peft"]["layers"]["down_w_left"][0], c0.adapter_down[1].W_left.detach().numpy()),
+            ("up_w_right", trained["peft"]["layers"]["up_w_right"][0], c0.adapter_up.W_right.detach().numpy()),
+            # frozen shared phm_rule must be untouched on both sides
+            ("shared phm_rule (frozen)", frozen["peft"]["shared"]["phm_rule"], vt.transformer.phm_rule.detach().numpy()),
+        ]
+    else:  # kadaptation — v factors are trained-but-unused (quirk #1): torch
+        # gives them no grad at all (SGD skips them entirely, including weight
+        # decay), ours decays them with exact-zero grads; both are
+        # accuracy-irrelevant, so compare the leaves that DO move.
+        a0 = vt.transformer.resblocks[0].attn
+        tr = vt.transformer
+        peft_compares = [
+            ("layer0 b", trained["peft"]["layers"]["b"][0], a0.b.detach().numpy()),
+            ("layer0 q_left", trained["peft"]["layers"]["q_left"][0], a0.q_proj_adapter1_left.detach().numpy()),
+            ("shared phm_rule1_left", trained["peft"]["shared"]["phm_rule1_left"], tr.phm_rule1_left.detach().numpy()),
+            ("shared phm_rule2_right", trained["peft"]["shared"]["phm_rule2_right"], tr.phm_rule2_right.detach().numpy()),
+        ]
+    for what, ours, ref in peft_compares:
         np.testing.assert_allclose(
-            np.asarray(trained["peft"]["layers"]["down_kernel"][0]),
-            ad0.adapter_down[1].weight.detach().numpy().T,
-            rtol=2e-3, atol=2e-4, err_msg="trained adapter down kernel diverges",
+            np.asarray(ours), ref, rtol=2e-3, atol=2e-4,
+            err_msg=f"trained {what} diverges",
         )
     np.testing.assert_allclose(
         np.asarray(bn_trained["mean"]), bn.running_mean.detach().numpy(),
