@@ -324,19 +324,34 @@ def load_split(
 
 def build_splits(config, *, test_split_only: bool = False):
     """construct_dataloader equivalent (feature.py:534-609): returns
-    (train, val, test) ArrayDatasets with few-shot subset + 0.2 val split."""
+    (train, val, test) ArrayDatasets with few-shot subset + 0.2 val split.
+
+    A REAL (ELEVATER-registered) dataset name with no resolvable local data
+    fails loudly, like the reference's Azure hub does (feature.py:556-560) —
+    silently training on synthetic colours would produce plausible-looking
+    but meaningless artifacts.  ``DATASET.ALLOW_SYNTHETIC True`` (what the
+    smoke grid sets) or a ``synthetic*`` name opts back in."""
     name = config.DATASET.DATASET
     info = get_dataset_info(name)
     num_classes = config.DATASET.NUM_CLASSES or info.num_classes
     image_size = config.TRAIN.IMAGE_SIZE[0]
     root = config.DATASET.ROOT
+    from .registry import ELEVATER_DATASETS
 
-    test = load_split(name, root, "test", image_size=image_size, num_classes=num_classes)
+    allow_syn = (
+        bool(config.DATASET.get("ALLOW_SYNTHETIC", False))
+        or name.startswith("synthetic")
+        or name not in ELEVATER_DATASETS
+    )
+
+    test = load_split(name, root, "test", image_size=image_size, num_classes=num_classes,
+                      allow_synthetic=allow_syn)
     if test_split_only:
         return None, None, test
 
     # train split may live in 'train' (+optional separate val dir)
-    full_train = load_split(name, root, "train", image_size=image_size, num_classes=num_classes)
+    full_train = load_split(name, root, "train", image_size=image_size, num_classes=num_classes,
+                            allow_synthetic=allow_syn)
 
     n_shot = config.DATASET.NUM_SAMPLES_PER_CLASS
     if n_shot > 0:

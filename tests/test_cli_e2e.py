@@ -125,6 +125,7 @@ def test_zeroshot_cli(tmp_path):
     result = main([
         "--ds", str(dsf), "--model", model,
         "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+        "DATASET.ALLOW_SYNTHETIC", "True",  # real name + synthetic data opt-in
     ])
     assert np.isfinite(result)
     feat_dir = tmp_path / "out" / "features"

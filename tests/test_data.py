@@ -110,3 +110,26 @@ def test_build_splits_with_config(tmp_path):
     # val split is class balanced: 1 per class (ceil(5*0.2))
     assert len(val) == 4
     assert len(test) > 0
+
+
+def test_real_dataset_name_fails_loudly_without_data(tmp_path):
+    """A registered ELEVATER name with a bad ROOT must raise, not silently
+    train on synthetic colours (the reference's Azure hub raises too —
+    feature.py:556-560).  DATASET.ALLOW_SYNTHETIC opts the fallback back in
+    (the smoke grid does)."""
+    import pytest as _pytest
+
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.data.sources import build_splits
+
+    cfg = get_default_config()
+    cfg.DATASET.DATASET = "cifar-10"
+    cfg.DATASET.ROOT = str(tmp_path / "definitely-not-here")
+    cfg.DATASET.NUM_CLASSES = 10
+    cfg.TRAIN.IMAGE_SIZE = [32, 32]
+    with _pytest.raises(FileNotFoundError):
+        build_splits(cfg)
+
+    cfg.DATASET.ALLOW_SYNTHETIC = True
+    train, val, test = build_splits(cfg)
+    assert len(train) and len(test)

@@ -23,6 +23,7 @@ def _write_cfgs(tmp_path, n_classes=4):
         f"""DATASET:
   DATASET: 'voc-2007-classification'
   ROOT: '{tmp_path}/data'
+  ALLOW_SYNTHETIC: true
   NUM_CLASSES: {n_classes}
 TEST:
   METRIC: '11point_mAP'

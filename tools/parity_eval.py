@@ -70,6 +70,7 @@ def run_one(method: str, dataset: str, seed: int, args) -> tuple:
     if args.smoke:
         argv += [
             "MODEL.PRETRAINED", "random",
+            "DATASET.ALLOW_SYNTHETIC", "True",
             "TRAIN.END_EPOCH", "2", "TRAIN.EXTRA_FINAL_TRAIN_EPOCH", "0",
             "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
             "TPU.COMPUTE_DTYPE", "float32",
