@@ -55,6 +55,9 @@ def ref_pkg():
     if "ftfy" not in sys.modules:
         ftfy = types.ModuleType("ftfy")
         ftfy.fix_text = lambda s: s
+        # a real ModuleSpec so later find_spec("ftfy") callers (the clip_swin
+        # fixture's import chain) don't trip on __spec__ is None
+        ftfy.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
         sys.modules["ftfy"] = ftfy
     pkg_name = "_ref_declip_parity"
     if pkg_name not in sys.modules:
