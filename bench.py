@@ -71,6 +71,7 @@ def _measure(args, model: str) -> float:
     cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.TPU.FAST_LN = args.fast_ln
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
+    cfg.TPU.FUSED_MLP = args.fused_mlp
 
     spec = CLIPSpec.vit_b16() if model == "b16" else CLIPSpec.vit_b32()
     clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
@@ -152,6 +153,8 @@ def _main():
     # is an fp32 island (model.py:154-160) and the headline number stays
     # numerics-faithful.
     ap.add_argument("--fast-ln", action="store_true")
+    # fused LN2->MLP->residual Pallas kernel (ops/fused_mlp.py) A/B
+    ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--measure-torch-cpu", action="store_true")
     args = ap.parse_args()

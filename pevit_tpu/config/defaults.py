@@ -215,6 +215,7 @@ _C.TPU.REMAT = False                # rematerialize transformer blocks (ViT-B fi
 _C.TPU.FAST_LN = False              # LayerNorm stats in activation dtype (speed; off = reference fp32 islands)
 _C.TPU.FAST_LN_SWEEP = False        # FAST_LN for SWEEP stages only (final run keeps fp32 LN); selection-equality gate: tools/fast_ln_gate.py
 _C.TPU.USE_PALLAS_ATTENTION = False  # fused kernel available but XLA + transpose-free layout measured faster in-loop
+_C.TPU.FUSED_MLP = False            # fused LN2->MLP->residual Pallas kernel (dgrad-only VJP; auto-disabled for full_finetune) — consumed by TaskStatic.from_config
 _C.TPU.MAX_DEVICE_DATA_GB = 4.0     # train splits above this stream from host RAM
 _C.TPU.CHECKPOINT_DIR = ""          # orbax save/resume dir ('' = disabled)
 

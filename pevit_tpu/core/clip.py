@@ -246,6 +246,7 @@ def _run_blocks(
     n_layers: int,
     remat=False,
     use_pallas: bool = False,
+    use_fused_mlp: bool = False,
 ) -> jax.Array:
     """Scan the stacked transformer blocks over the residual stream.
 
@@ -279,6 +280,7 @@ def _run_blocks(
             qv_delta_fn=qv_delta_fn,
             mlp_post_fn=mlp_post_fn,
             use_pallas=use_pallas,
+            use_fused_mlp=use_fused_mlp,
         )
         return y, None
 
@@ -325,6 +327,7 @@ def encode_image(
     compute_dtype: Any = jnp.float32,
     remat: bool = False,
     use_pallas: bool = False,
+    use_fused_mlp: bool = False,
     apply_proj: bool = True,
     patch_fold: Optional[tuple] = None,
     return_all_tokens: bool = False,
@@ -388,6 +391,7 @@ def encode_image(
         n_layers=v.layers,
         remat=remat,
         use_pallas=use_pallas,
+        use_fused_mlp=use_fused_mlp,
     )
 
     if return_all_tokens:

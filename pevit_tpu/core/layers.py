@@ -221,6 +221,7 @@ def residual_attention_block(
     qv_delta_fn: Optional[DeltaFn] = None,
     mlp_post_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
     use_pallas: bool = False,
+    use_fused_mlp: bool = False,
     act: Optional[Callable] = None,
 ) -> jax.Array:
     """One CLIP transformer block (reference model.py:947-975).
@@ -230,12 +231,30 @@ def residual_attention_block(
     stream in its place (reference adapter_model.py:330-336,
     compacter_model.py:497-503 — both compute ``x + f(m)`` where ``f``
     internally re-adds ``m``).
+
+    ``use_fused_mlp`` routes the LN2->c_fc->QuickGELU->c_proj->residual
+    chain through the fused Pallas kernel (ops/fused_mlp.py).  Only valid
+    when the MLP weights are FROZEN (its VJP is dgrad-only) and no
+    ``mlp_post_fn`` hook needs the bare MLP output.
     """
     h = layer_norm(x, params["ln_1"]["scale"], params["ln_1"]["bias"])
     x = x + multi_head_attention(
         params["attn"], h, n_head=n_head, mask=mask, qv_delta_fn=qv_delta_fn,
         use_pallas=use_pallas,
     )
+    if use_fused_mlp and mlp_post_fn is None and act is None:
+        from ..ops.fused_mlp import fused_mlp_residual
+
+        dt = x.dtype
+        # ln scale/bias stay fp32 (the kernel's LN is an fp32 island);
+        # GEMM weights/biases cast to the compute dtype like `linear` does
+        return fused_mlp_residual(
+            x,
+            params["ln_2"]["scale"], params["ln_2"]["bias"],
+            params["mlp"]["c_fc"]["kernel"].astype(dt), params["mlp"]["c_fc"]["bias"].astype(dt),
+            params["mlp"]["c_proj"]["kernel"].astype(dt), params["mlp"]["c_proj"]["bias"].astype(dt),
+            jax.default_backend() != "tpu",
+        )
     m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]), act=act)
     if mlp_post_fn is not None:
         m = mlp_post_fn(m)

@@ -65,6 +65,7 @@ class TaskStatic:
     compute_dtype: str = "bfloat16"
     remat: str = "none"  # "none" | "full" | "dots" (see core.clip._run_blocks)
     use_pallas: bool = False
+    use_fused_mlp: bool = False  # fused LN2->MLP->residual Pallas kernel (frozen-MLP methods only; ops/fused_mlp.py)
     optimizer: str = "sgd"
     momentum: float = 0.9
     nesterov: bool = False
@@ -106,6 +107,10 @@ class TaskStatic:
             compute_dtype="float32" if (config.TPU.PARITY_FP32 or config.MODEL.CLIP_FP32) else config.TPU.COMPUTE_DTYPE,
             remat={False: "none", True: "full"}.get(config.TPU.REMAT, str(config.TPU.REMAT)),
             use_pallas=config.TPU.USE_PALLAS_ATTENTION,
+            # dgrad-only VJP => the MLP weights must be frozen: every method
+            # except full_finetune (see ops/fused_mlp.py frozen-weight note)
+            use_fused_mlp=bool(config.TPU.get("FUSED_MLP", False))
+            and peft_cfg.method != "full_finetune",
             optimizer=opt_name,
             momentum=opt_momentum,
             nesterov=opt_nesterov,
@@ -219,6 +224,7 @@ def model_forward(
             compute_dtype=dt,
             remat=(static.remat if train else False),
             use_pallas=static.use_pallas,
+            use_fused_mlp=static.use_fused_mlp,
             apply_proj=not static.merge_encoder_head_proj,
             patch_fold=(preproc["mean"], preproc["std"]),
         )
@@ -240,6 +246,7 @@ def model_forward(
             compute_dtype=dt,
             remat=(static.remat if train else False),
             use_pallas=static.use_pallas,
+            use_fused_mlp=static.use_fused_mlp,
             apply_proj=not static.merge_encoder_head_proj,
         )
     logits, bn_state = head_forward(
