@@ -24,6 +24,17 @@ when those weights are frozen (true for every PEFT method; the trainer
 gate in TaskStatic.from_config excludes full_finetune).  Differentiating
 this op w.r.t. the weights silently yields 0.
 
+MEASURED OUTCOME (r3 A/B on v5e, kadaptation B/32 batch 128 bf16, 8-epoch
+whole-run bench, unfused baseline 3220 img/s): this recompute bwd loses —
+3024 img/s at 64-row bwd tiles, 3066 at 256-row tiles under a raised 64 MB
+VMEM limit.  A stash-based variant (fwd additionally emits h, bwd reads it
+instead of recomputing — FLOP-neutral with XLA's dgrad) measured 2864,
+worse still: the explicit (rows, F) stash traffic serialized against the
+kernel costs more than the recompute GEMM.  Conclusion: XLA's overlapped
+small fusions beat a monolithic VMEM-resident kernel at ViT-B MLP shapes
+on this backend; TPU.FUSED_MLP stays default-OFF (opt-in for A/B on other
+backends/shapes).  See ARCHITECTURE.md perf notes.
+
 Runs in interpret mode off-TPU (tests exercise the kernel on CPU).
 """
 
@@ -37,9 +48,12 @@ import jax.numpy as jnp
 _LN_EPS = 1e-5
 _TILE_ROWS = 256
 # the bwd kernel holds ~3 fp32 (rows, F) intermediates next to the 9.4 MB of
-# weights; scoped-VMEM measurements on v5e: 256 rows 20.1 MB, 128 rows
-# 16.77 MB vs the 16 MB default limit — 64 rows fits with margin
-_TILE_ROWS_BWD = 64
+# weights; scoped-VMEM measured on v5e: 256 rows 20.1 MB, 128 rows 16.77 MB
+# vs the 16 MB DEFAULT limit — raised to 64 MB via CompilerParams (v5e has
+# 128 MB physical VMEM), keeping the larger, MXU-friendlier tiles
+# (256-row bwd measured 3066 vs 3024 img/s at 64-row)
+_TILE_ROWS_BWD = 256
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -166,6 +180,7 @@ def _pallas_bwd(dy2d, x2d, ln_scale, ln_bias, wfc, bfc, wproj, *, tile_rows, int
         out_specs=pl.BlockSpec((tile_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rp, C), dy2d.dtype),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * Rp * C * F * 4,
             bytes_accessed=(3 * Rp * C + 2 * C * F) * dy2d.dtype.itemsize,
