@@ -46,6 +46,10 @@ def main(argv=None):
                     help="program-only artifact (~1 MB); weights ship separately and the "
                     "artifact is called as exp.call(serving_weights(...), images). "
                     "Required on compile services with request-size limits")
+    ap.add_argument("--quantize", action="store_true",
+                    help="weight-only per-channel int8 (pevit_tpu/quant.py): ~4x smaller "
+                    "artifact / weight bundle, dequant fused into the GEMMs at compile time. "
+                    "With --weights-as-args, call with serving_weights(..., quantize=True)")
     ap.add_argument("--platforms", default="",
                     help="comma-separated lowering platforms, e.g. 'cpu,tpu' (default: current)")
     ap.add_argument("--seed", type=int, default=0)
@@ -109,6 +113,7 @@ def main(argv=None):
         bake_weights=not args.weights_as_args,
         platforms=[p for p in args.platforms.split(",") if p] or None,
         forward_fn=getattr(task, "_forward_fn", None),
+        quantize=args.quantize,
     )
     save_exported(exported, args.out)
     size_mb = Path(args.out).stat().st_size / 1e6
