@@ -72,6 +72,9 @@ def _measure(args, model: str) -> float:
     cfg.TPU.FAST_LN = args.fast_ln
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
     cfg.TPU.FUSED_MLP = args.fused_mlp
+    from pevit_tpu.core.clip import set_scan_unroll
+
+    set_scan_unroll(args.scan_unroll)  # always: the global must not leak across cells
 
     spec = CLIPSpec.vit_b16() if model == "b16" else CLIPSpec.vit_b32()
     clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
@@ -155,6 +158,7 @@ def _main():
     ap.add_argument("--fast-ln", action="store_true")
     # fused LN2->MLP->residual Pallas kernel (ops/fused_mlp.py) A/B
     ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--scan-unroll", type=int, default=0)  # layer-loop unroll: 0 full (default), 1 rolled (core/clip.py)
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--measure-torch-cpu", action="store_true")
     args = ap.parse_args()

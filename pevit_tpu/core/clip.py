@@ -32,6 +32,26 @@ import jax.numpy as jnp
 from .layers import causal_mask, layer_norm, residual_attention_block
 
 
+# Trace-time layer-loop unroll factor for the block scan: 0 = FULL unroll
+# (default), 1 = rolled loop, k = partial.  lax.scan compiles ONE loop body;
+# every layer boundary is a scheduling barrier, so XLA cannot overlap the
+# tail of layer i with the head of layer i+1 — exactly the op-granularity
+# bound the r3 roofline identified (ARCHITECTURE.md).  Measured on-chip
+# (kadaptation bf16 train step, interleaved A/B after pinning baseline
+# stability to +-2 img/s): full unroll 3227->3560 img/s B/32 batch 128
+# (+10.4%), 902->1121 B/16 batch 16 (+24.3%).  PARTIAL unroll is a measured
+# dead end (B/32: unroll=3 2276, unroll=4 2158 — a bigger loop body without
+# removing the barrier loses the icache/scheduling trade both ways).
+_SCAN_UNROLL = 0
+
+
+def set_scan_unroll(n: int) -> None:
+    global _SCAN_UNROLL
+    n = int(n)
+    assert n >= 0, n
+    _SCAN_UNROLL = n
+
+
 # ---------------------------------------------------------------------------
 # Specs
 # ---------------------------------------------------------------------------
@@ -298,7 +318,9 @@ def _run_blocks(
         )
     else:
         scan_fn = block_fn
-    x, _ = jax.lax.scan(scan_fn, x, (blocks, layer_tree, rngs))
+    u = min(_SCAN_UNROLL or n_layers, n_layers)
+    unroll = u if n_layers % u == 0 else 1  # partial unroll only on exact tiling
+    x, _ = jax.lax.scan(scan_fn, x, (blocks, layer_tree, rngs), unroll=unroll)
     return x
 
 
