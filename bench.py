@@ -73,8 +73,10 @@ def _measure(args, model: str) -> float:
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
     cfg.TPU.FUSED_MLP = args.fused_mlp
     from pevit_tpu.core.clip import set_scan_unroll
+    from pevit_tpu.core.layers import set_attn_layout
 
-    set_scan_unroll(args.scan_unroll)  # always: the global must not leak across cells
+    set_scan_unroll(args.scan_unroll)  # always: the globals must not leak across cells
+    set_attn_layout(args.attn_layout)
 
     spec = CLIPSpec.vit_b16() if model == "b16" else CLIPSpec.vit_b32()
     clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
@@ -159,6 +161,7 @@ def _main():
     # fused LN2->MLP->residual Pallas kernel (ops/fused_mlp.py) A/B
     ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--scan-unroll", type=int, default=0)  # layer-loop unroll: 0 full (default), 1 rolled (core/clip.py)
+    ap.add_argument("--attn-layout", type=str, default="auto", choices=["auto", "bnhd", "bhnd"])
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--measure-torch-cpu", action="store_true")
     args = ap.parse_args()

@@ -30,14 +30,24 @@ import jax.numpy as jnp
 # and the parity mode (fp32 activations) is unaffected either way.
 _FAST_LN = False
 
-# mask-free attention data layout.  "bnhd" (default): head axis rides as a
-# trailing dot_general batch dim.  "bhnd": head-major with the head-split/
-# merge folded into the projection GEMMs — measured on-chip (kadaptation,
-# bf16): B/32 batch 128 3043 vs 3223 img/s (-5.6%), B/16 batch 32 863 vs 832
-# (+3.8%) but a wash at B/16's batch-16 operating point (899 vs 903, r2).
-# bnhd wins every operating point, so it is the default everywhere; bhnd
-# remains selectable for long-sequence towers via set_attn_layout.
-_ATTN_LAYOUT = "bnhd"
+# mask-free attention data layout.  "bnhd": head axis rides as a trailing
+# dot_general batch dim.  "bhnd": head-major with the head-split/merge folded
+# into the projection GEMMs.  The winner depends on sequence length — the
+# full-unroll r3 A/B (kadaptation, bf16, interleaved reps) measured bhnd
+# +4.5% at B/32 batch 128 (N=50: 3560 -> 3722 img/s; the bnhd head-split
+# relayout copies are ~15% of that step) but -1.5% at B/16 batch 16 (N=197:
+# 1122 -> 1106, where the relayouts amortize over the longer sequence).
+# Pre-unroll r2 measured the OPPOSITE sign at B/32 (-5.6%) — the unrolled
+# schedule is what exposes the copies.  "auto" (default) picks bhnd iff
+# N <= 64, the measured crossover between N=50 and N=197; parity runs pin
+# "bnhd" (trainer), the reference-shaped computation.
+_ATTN_LAYOUT = "auto"
+
+
+def _resolve_attn_layout(n: int) -> str:
+    if _ATTN_LAYOUT == "auto":
+        return "bhnd" if n <= 64 else "bnhd"
+    return _ATTN_LAYOUT
 
 
 def set_fast_ln(enabled: bool) -> None:
@@ -47,7 +57,7 @@ def set_fast_ln(enabled: bool) -> None:
 
 def set_attn_layout(layout: str) -> None:
     global _ATTN_LAYOUT
-    assert layout in ("bhnd", "bnhd"), layout
+    assert layout in ("auto", "bhnd", "bnhd"), layout
     _ATTN_LAYOUT = layout
 
 
@@ -151,7 +161,7 @@ def multi_head_attention(
     B, N, C = x.shape
     hd = C // n_head
 
-    if mask is None and _ATTN_LAYOUT == "bhnd":
+    if mask is None and _resolve_attn_layout(N) == "bhnd":
         # head-major (B, H, N, hd) path: q/k/v are produced DIRECTLY in the
         # layout the attention dot_generals want — the head-split transpose
         # rides the in-projection GEMM epilogue, and the head-merge rides the

@@ -77,6 +77,7 @@ class TaskStatic:
     timm_filter: bool = False  # timm create_optimizer filter_bias_and_bn
     fast_ln: bool = False
     scan_unroll: int = 0  # layer-loop unroll: 0 full (measured +10%/+24% b32/b16), 1 rolled (core/clip.py)
+    attn_layout: str = "auto"  # mask-free attention layout: auto = bhnd iff N<=64 (core/layers.py); parity pins bnhd
     merge_encoder_head_proj: bool = False
     feat_dim: int = 0  # 0 => spec.embed_dim (classifier-head input width)
 
@@ -123,6 +124,8 @@ class TaskStatic:
             two_lr=config.TRAIN.TWO_LR,
             fast_ln=config.TPU.FAST_LN and not config.TPU.PARITY_FP32,
             scan_unroll=int(config.TPU.get("SCAN_UNROLL", 0)),
+            attn_layout=("bnhd" if config.TPU.PARITY_FP32
+                         else str(config.TPU.get("ATTN_LAYOUT", "auto"))),
             merge_encoder_head_proj=config.TRAIN.MERGE_ENCODER_AND_HEAD_PROJ,
             feat_dim=feat_dim,
         )
@@ -507,10 +510,11 @@ class TrainTask:
         each task's jit cache entries were traced under its own flag.
         Also applies this task's layer-loop unroll (core/clip.py)."""
         from ..core.clip import set_scan_unroll
-        from ..core.layers import set_fast_ln
+        from ..core.layers import set_attn_layout, set_fast_ln
 
         set_fast_ln(self.static.fast_ln)
         set_scan_unroll(self.static.scan_unroll)
+        set_attn_layout(self.static.attn_layout)
 
     def clone_with(self, **static_overrides) -> "TrainTask":
         """A task sharing this one's (device-resident) weights and head init

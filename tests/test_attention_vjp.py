@@ -116,10 +116,40 @@ def test_bhnd_layout_matches_bnhd_fwd_and_grad():
         try:
             return (encode_image(p, x, spec=spec) ** 2).sum()
         finally:
-            layers.set_attn_layout("bnhd")
+            layers.set_attn_layout("auto")
 
     f_a, g_a = jax.value_and_grad(lambda p: loss(p, "bnhd"))(params)
     f_b, g_b = jax.value_and_grad(lambda p: loss(p, "bhnd"))(params)
     assert abs(float(f_a) - float(f_b)) < 1e-3 * abs(float(f_a))
     for u, v in zip(jax.tree.leaves(g_a), jax.tree.leaves(g_b)):
         np.testing.assert_allclose(np.asarray(u), np.asarray(v), rtol=2e-3, atol=2e-4)
+
+
+def test_auto_attn_layout_resolution_and_parity_pinning():
+    """'auto' picks bhnd for short sequences (N<=64, the measured crossover
+    between B/32's N=50 and B/16's N=197) and bnhd for long ones; parity
+    mode pins bnhd (the reference-shaped computation) via TaskStatic."""
+    from pevit_tpu.core import layers
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.core.clip import CLIPSpec
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.train import TaskStatic
+
+    assert layers._resolve_attn_layout(50) == "bhnd"
+    assert layers._resolve_attn_layout(197) == "bnhd"
+    layers.set_attn_layout("bnhd")
+    try:
+        assert layers._resolve_attn_layout(50) == "bnhd"
+    finally:
+        layers.set_attn_layout("auto")
+
+    cfg = get_default_config()
+    cfg.DATASET.NUM_CLASSES = 10
+    spec = CLIPSpec.vit_b32()
+    st = TaskStatic.from_config(cfg, spec, PeftConfig(method="lora"))
+    assert st.attn_layout == "auto"
+    cfg2 = cfg.clone()
+    cfg2.defrost()
+    cfg2.TPU.PARITY_FP32 = True
+    st2 = TaskStatic.from_config(cfg2, spec, PeftConfig(method="lora"))
+    assert st2.attn_layout == "bnhd"
