@@ -26,7 +26,8 @@ import json
 import sys
 import time
 
-A6000_BASELINE_IMGS_PER_SEC = {"b32": 800.0, "b16": 200.0}  # b16 ~ 4x FLOPs of b32
+#  b16 ~ 4x FLOPs of b32; l14 ~ 4.5x FLOPs of b16 (80 vs 17.5 GFLOP/img fwd)
+A6000_BASELINE_IMGS_PER_SEC = {"b32": 800.0, "b16": 200.0, "l14": 45.0}
 BASELINE_BASIS = (
     "estimate: reference publishes no throughput (SURVEY.md §6); baseline is "
     "an A6000 fp32 eager-torch engineering estimate (B/32 800 img/s, B/16 200)"
@@ -63,12 +64,17 @@ def _measure(args, model: str) -> float:
         # best measured operating point for ViT-B/16 (r2 sweep: batch 8 770,
         # 12 864, 16 899, 24 853, 32 835, 48 672 img/s — VMEM cliff past 16)
         batch = 16
+    if model == "l14" and batch > 64:
+        # ViT-L/14 operating point (r3 sweep: batch 4 168, 8 195.5, 16 172.8,
+        # 32 149.7 img/s — peak at 8, same short-step regime as B/16)
+        batch = 8
 
     cfg = get_default_config()
     cfg.DATASET.NUM_CLASSES = 100
     cfg.TRAIN.BATCH_SIZE_PER_GPU = batch
     cfg.TEST.METRIC = "accuracy"
     cfg.TPU.COMPUTE_DTYPE = args.dtype
+    cfg.TPU.REMAT = args.remat
     cfg.TPU.FAST_LN = args.fast_ln
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
     cfg.TPU.FUSED_MLP = args.fused_mlp
@@ -78,7 +84,7 @@ def _measure(args, model: str) -> float:
     set_scan_unroll(args.scan_unroll)  # always: the globals must not leak across cells
     set_attn_layout(args.attn_layout)
 
-    spec = CLIPSpec.vit_b16() if model == "b16" else CLIPSpec.vit_b32()
+    spec = {"b16": CLIPSpec.vit_b16, "l14": CLIPSpec.vit_l14}.get(model, CLIPSpec.vit_b32)()
     clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
     static = TaskStatic.from_config(cfg, spec, PeftConfig(method=args.method))
     task = TrainTask(cfg, static, clip_params)
@@ -151,7 +157,8 @@ def _main():
     ap.add_argument("--n-train", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=8)  # ~3s of device time: averages out relay jitter
     ap.add_argument("--method", type=str, default="kadaptation")
-    ap.add_argument("--model", type=str, default="both", choices=["b32", "b16", "both"])
+    ap.add_argument("--model", type=str, default="both", choices=["b32", "b16", "l14", "both"])
+    ap.add_argument("--remat", action="store_true", help="rematerialize blocks (for l14 at big batch)")
     ap.add_argument("--no-pallas", action="store_true")
     # LN stats in activation dtype: +4.8% at B/32 (3362 vs 3208 img/s, r2
     # A/B), -1.5% at B/16; OFF by default because the reference's LayerNorm
@@ -175,9 +182,9 @@ def _main():
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    primary = "b16" if args.model == "b16" else "b32"
+    primary = args.model if args.model in ("b16", "l14") else "b32"
     rate, batch = _measure(args, primary)
-    model_name = "ViT-B/16" if primary == "b16" else "ViT-B/32"
+    model_name = {"b16": "ViT-B/16", "l14": "ViT-L/14"}.get(primary, "ViT-B/32")
     out = {
         "metric": f"{args.method} {model_name} train throughput (batch {batch}, {args.dtype})",
         "value": round(rate, 1),

@@ -102,6 +102,20 @@ class CLIPSpec:
         return CLIPSpec(vision=VisionSpec(patch_size=16))
 
     @staticmethod
+    def vit_l14() -> "CLIPSpec":
+        """OpenAI CLIP ViT-L/14 (model.py state-dict geometry: vision width
+        1024 x 24 layers x 16 heads, patch 14 -> N=257; text width 768,
+        embed_dim 768).  Real L/14 checkpoints already load via
+        ckpt.infer_spec_from_state_dict; this preset serves random-init
+        benchmarks/tests at the production model size."""
+        return CLIPSpec(
+            embed_dim=768,
+            vision=VisionSpec(patch_size=14, width=1024, layers=24, heads=16,
+                              output_dim=768),
+            text=TextSpec(width=768, heads=12, layers=12, output_dim=768),
+        )
+
+    @staticmethod
     def from_config(config) -> "CLIPSpec":
         """Build from a MODEL.SPEC config node (resources/model/*.yaml).
 

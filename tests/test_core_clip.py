@@ -132,3 +132,21 @@ def test_fast_ln_switch():
     np.testing.assert_allclose(
         np.asarray(layer_norm(x32, scale, bias)), np.asarray(ref32), rtol=0, atol=0
     )
+
+
+def test_vit_l14_spec_geometry_and_param_tree():
+    """ViT-L/14 preset matches OpenAI CLIP L/14 state-dict geometry
+    (model.py:1210-1233 inference path); params checked by eval_shape so
+    the 428M-param tree is never materialised on the CPU host."""
+    spec = CLIPSpec.vit_l14()
+    assert spec.vision.seq_len == (224 // 14) ** 2 + 1 == 257
+    assert (spec.embed_dim, spec.vision.width, spec.vision.layers, spec.vision.heads) == (768, 1024, 24, 16)
+    assert (spec.text.width, spec.text.layers) == (768, 12)
+
+    shapes = jax.eval_shape(lambda k: init_clip_params(k, spec), jax.random.PRNGKey(0))
+    leaves = jax.tree.leaves(shapes)
+    n_params = sum(int(np.prod(l.shape)) for l in leaves)
+    assert 420e6 < n_params < 440e6, n_params  # OpenAI L/14: ~427.6M
+    v = shapes["visual"]
+    assert v["patch_embed"]["kernel"].shape[0] == 14 * 14 * 3
+    assert v["positional_embedding"].shape[0] == 257
