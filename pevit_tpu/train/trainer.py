@@ -124,8 +124,16 @@ class TaskStatic:
             two_lr=config.TRAIN.TWO_LR,
             fast_ln=config.TPU.FAST_LN and not config.TPU.PARITY_FP32,
             scan_unroll=int(config.TPU.get("SCAN_UNROLL", 0)),
-            attn_layout=("bnhd" if config.TPU.PARITY_FP32
-                         else str(config.TPU.get("ATTN_LAYOUT", "auto"))),
+            # bhnd is a bf16-throughput feature (core/layers.py); fp32 compute
+            # means a parity/accuracy context, which keeps the reference-shaped
+            # bnhd computation.  (Also: the bhnd trace is not vmap-stable at
+            # float level — vmapped trials round differently from a lone trial,
+            # which the fp32 trainer-equality tests would trip over.)
+            attn_layout=("bnhd" if (
+                config.TPU.PARITY_FP32
+                or config.MODEL.CLIP_FP32
+                or str(config.TPU.COMPUTE_DTYPE) == "float32"
+            ) else str(config.TPU.get("ATTN_LAYOUT", "auto"))),
             merge_encoder_head_proj=config.TRAIN.MERGE_ENCODER_AND_HEAD_PROJ,
             feat_dim=feat_dim,
         )

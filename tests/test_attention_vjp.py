@@ -153,3 +153,11 @@ def test_auto_attn_layout_resolution_and_parity_pinning():
     cfg2.TPU.PARITY_FP32 = True
     st2 = TaskStatic.from_config(cfg2, spec, PeftConfig(method="lora"))
     assert st2.attn_layout == "bnhd"
+
+    # fp32 compute = parity/accuracy context: pinned too (and the bhnd trace
+    # is not vmap-stable at float level — see TaskStatic.from_config)
+    cfg3 = cfg.clone()
+    cfg3.defrost()
+    cfg3.TPU.COMPUTE_DTYPE = "float32"
+    st3 = TaskStatic.from_config(cfg3, spec, PeftConfig(method="lora"))
+    assert st3.attn_layout == "bnhd"
