@@ -90,11 +90,22 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
     tpu_pids = {p for p, nm in pid_names.items() if "TPU" in nm.upper() or "device" in nm.lower()}
+    # keep only the "XLA Ops" thread: the "Steps"/"XLA Modules" tracks carry
+    # whole-program span events (one per dispatch) that would double the
+    # total and show up as a giant unnamed row (r3 finding)
+    op_tids = {
+        (e["pid"], e["tid"])
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+        and "op" in e["args"]["name"].lower()
+    }
     agg = collections.defaultdict(float)
     examples = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
+            continue
+        if op_tids and (e["pid"], e.get("tid")) not in op_tids:
             continue
         name = e.get("name", "")
         if name.startswith(("while", "conditional", "jit_", "body")):
