@@ -192,6 +192,13 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
 
     exp_name = apply_shared_dataset_tweaks(config, EXP_PREFIX[method] + ("" if method != "linear_probe" else "") )
     final_output_dir = create_logger(config, exp_name)
+    if config.TPU.SWEEP_CACHE_DIR == "auto":
+        # zero-flag sweep resume: a re-run of the same command in the same
+        # output dir replays finished sweep trials (train/sweep_cache.py);
+        # the fingerprint keys out any config/data change
+        config.defrost()
+        config.TPU.SWEEP_CACHE_DIR = os.path.join(final_output_dir, "sweep_cache")
+        config.freeze()
     if comm.is_main_process():
         log_config(config, args)
 

@@ -220,6 +220,7 @@ _C.TPU.USE_PALLAS_ATTENTION = False  # fused kernel available but XLA + transpos
 _C.TPU.FUSED_MLP = False            # fused LN2->MLP->residual Pallas kernel (dgrad-only VJP; auto-disabled for full_finetune) — consumed by TaskStatic.from_config
 _C.TPU.MAX_DEVICE_DATA_GB = 4.0     # train splits above this stream from host RAM
 _C.TPU.CHECKPOINT_DIR = ""          # orbax save/resume dir ('' = disabled)
+_C.TPU.SWEEP_CACHE_DIR = "auto"     # sweep trial-score cache for crash/preemption resume: 'auto' = <run output dir>/sweep_cache (CLI), '' disables, else explicit dir — consumed by train/sweep_cache.py via sweep._run_stage
 
 _C.seal()
 

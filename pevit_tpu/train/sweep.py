@@ -73,11 +73,37 @@ def _run_chunk(task: TrainTask, chunk: list, data, end_epoch: int, seed: int) ->
         return [0.0] * len(chunk)
 
 
-def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max_parallel: int):
-    """Run a stage of (lr, wd) trials, chunked to ``max_parallel`` per vmap."""
-    scores = []
-    for s in range(0, len(jobs), max_parallel):
-        scores.extend(_run_chunk(task, jobs[s : s + max_parallel], data, end_epoch, seed))
+def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max_parallel: int, cache=None):
+    """Run a stage of (lr, wd) trials, chunked to ``max_parallel`` per vmap.
+
+    With a ``SweepCache`` (train/sweep_cache.py), finished trials replay
+    from disk and only the misses train; every fresh score is persisted
+    before the stage returns, so a crash mid-sweep loses at most the
+    in-flight chunk.
+    """
+    if cache is None:
+        scores = []
+        for s in range(0, len(jobs), max_parallel):
+            scores.extend(_run_chunk(task, jobs[s : s + max_parallel], data, end_epoch, seed))
+        return scores
+
+    scores = [cache.get(lr, wd) for lr, wd in jobs]
+    miss_pos = [i for i, v in enumerate(scores) if v is None]
+    # a (lr, wd) pair can repeat within one stage (duplicate grid values);
+    # train it once and fan the score out to every occurrence
+    pending: dict = {}
+    for i in miss_pos:
+        pending.setdefault(tuple(jobs[i]), []).append(i)
+    miss_jobs = list(pending)
+    if miss_jobs:
+        logging.info("sweep stage: %d/%d trials from cache", len(jobs) - len(miss_pos), len(jobs))
+    fresh = []
+    for s in range(0, len(miss_jobs), max_parallel):
+        fresh.extend(_run_chunk(task, miss_jobs[s : s + max_parallel], data, end_epoch, seed))
+    for (lr, wd), sc in zip(miss_jobs, fresh):
+        cache.put(lr, wd, sc)
+        for i in pending[(lr, wd)]:
+            scores[i] = sc
     return scores
 
 
@@ -111,13 +137,19 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
         task = task.clone_with(fast_ln=True)
         logging.info("sweep stages run with FAST_LN (final run keeps fp32 LN)")
 
+    # crash/preemption resume: completed trials replay from disk
+    # (train/sweep_cache.py; enabled by TPU.SWEEP_CACHE_DIR)
+    from .sweep_cache import open_sweep_cache
+
+    cache = open_sweep_cache(config, data, end_epoch, seed)
+
     # per-LR walk state
     peak_idx = {lr: -1 for lr in lrs}
     peak_score = {lr: 0.0 for lr in lrs}
 
     # --- stage 0: coarse grid, all LRs at once -----------------------------
     jobs = [(lr, grid[idx]) for lr in lrs for idx in init_idx]
-    scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel)
+    scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel, cache)
     k = 0
     for lr in lrs:
         for idx in init_idx:
@@ -143,7 +175,7 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
                 wd = grid[left] if wd_search_left else grid[idx]
                 jobs.append((lr, wd))
                 meta.append((lr, idx))
-        scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel)
+        scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel, cache)
         for (lr, idx), sc in zip(meta, scores):
             if sc > peak_score[lr]:
                 peak_idx[lr], peak_score[lr] = idx, sc
