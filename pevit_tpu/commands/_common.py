@@ -140,6 +140,73 @@ def dump_artifacts(config, exp_name: str, best_acc: float, model_info: dict, *, 
     return prediction_folder
 
 
+def _artifact_tag(config) -> str:
+    return f"seed{config.DATASET.RANDOM_SEED_SAMPLING}_{config.DATASET.DATASET}"
+
+
+def _completion_path(config, exp_name: str) -> str:
+    # '.json.complete', NOT '.complete.json': artifact-globbing tools
+    # (prepare_submit.py seed*.json, result scrapers) must never ingest it
+    return os.path.join(
+        config.OUTPUT_DIR, "predictions", exp_name, f"{_artifact_tag(config)}.json.complete"
+    )
+
+
+def job_fingerprint(config, data, method: str, args) -> str:
+    """Content key for one CLI job: config + data + method + CLI hypers.
+
+    Built on ``sweep_fingerprint`` (train/sweep_cache.py) so the same
+    invalidation rules apply — any change to model, method, data, precision,
+    epochs, or seed re-runs the job; pure-output paths do not."""
+    import hashlib
+
+    from ..train.sweep_cache import sweep_fingerprint
+
+    seed = args.fix_seed if args.fix_seed != -1 else 0
+    base = sweep_fingerprint(config, data, config.TRAIN.END_EPOCH, seed)
+    extra = f"method={method};no_tuning={args.no_tuning};lr={args.lr};l2={args.l2}"
+    return hashlib.sha256(f"{base};{extra}".encode()).hexdigest()[:24]
+
+
+def load_completed_job(config, exp_name: str, fingerprint: str):
+    """Return ``(best_acc, model_info)`` recorded by a finished identical job.
+
+    Valid only when BOTH the sidecar (fingerprint match) and the prediction
+    JSON artifact exist — deleting either re-runs the job.  Beyond-reference
+    fault tolerance: the reference re-trains every job on a campaign restart
+    (scripts/run.sh loops have no completion check)."""
+    path = _completion_path(config, exp_name)
+    art = path[: -len(".complete")]
+    if not (os.path.exists(path) and os.path.exists(art)):
+        return None
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("fingerprint") != fingerprint:
+            return None
+        with open(art) as f:
+            preds = json.load(f).get("predictions") or []
+        model_info = dict(rec["model_info"])
+        model_info["best_logits"] = np.asarray(preds[0], np.float32) if preds else None
+        return float(rec["best_acc"]), model_info
+    except (ValueError, KeyError, OSError):
+        logging.warning("job completion sidecar %s unreadable; re-running", path)
+        return None
+
+
+def mark_job_complete(config, exp_name: str, fingerprint: str, best_acc: float, model_info: dict):
+    info = {
+        k: v for k, v in model_info.items()
+        if isinstance(v, (int, float, str, bool, type(None)))
+    }
+    payload = {"fingerprint": fingerprint, "best_acc": float(best_acc), "model_info": info}
+    path = _completion_path(config, exp_name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def load_device_data(config):
     """Build splits as uint8 + labels.
 
@@ -208,6 +275,25 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
     from ..train import TaskStatic, TrainTask, run_method
 
     data = load_device_data(config)
+
+    # campaign resume: a finished identical job (matching artifact +
+    # fingerprint sidecar) replays its recorded result instead of retraining,
+    # so re-running a 20-dataset x 3-seed launch script only trains the jobs
+    # the previous campaign never finished.
+    job_fp = None
+    if config.TPU.SKIP_COMPLETED_JOBS and args.save_predictions:
+        job_fp = job_fingerprint(config, data, method, args)
+        done = load_completed_job(config, exp_name, job_fp)
+        if done is not None:
+            best_acc, model_info = done
+            logging.info(
+                "=> job already complete (fingerprint %s): replaying recorded result, "
+                "skipping training. Delete %s to force a re-run.",
+                job_fp, _completion_path(config, exp_name),
+            )
+            _maybe_submit(args, config, model_info)
+            logging.info("=> Finished: best %s = %.3f", config.TEST.METRIC or "accuracy", best_acc)
+            return best_acc, model_info
 
     from ..core.clip import CLIPSpec
 
@@ -291,19 +377,26 @@ def run_training_command(method: str, *, description: str, probe: bool = False, 
 
     if args.save_predictions:
         dump_artifacts(config, exp_name, best_acc, model_info, txt=True)
-    if args.submit_predictions:
-        from .prediction_submission import submit_predictions
-
-        submission = {
-            "model_name": config.MODEL.NAME,
-            "dataset_name": config.DATASET.DATASET,
-            "n_shot": config.DATASET.NUM_SAMPLES_PER_CLASS,
-            "rnd_seeds": [config.DATASET.RANDOM_SEED_SAMPLING],
-            "predictions": [model_info["best_logits"].tolist()]
-            if model_info.get("best_logits") is not None
-            else [],
-            "num_trainable_params": model_info.get("n_trainable_params"),
-        }
-        submit_predictions(submission, args.submit_by, config)
+        if job_fp is not None:
+            mark_job_complete(config, exp_name, job_fp, best_acc, model_info)
+    _maybe_submit(args, config, model_info)
     logging.info("=> Finished: best %s = %.3f", config.TEST.METRIC or "accuracy", best_acc)
     return best_acc, model_info
+
+
+def _maybe_submit(args, config, model_info):
+    if not args.submit_predictions:
+        return
+    from .prediction_submission import submit_predictions
+
+    submission = {
+        "model_name": config.MODEL.NAME,
+        "dataset_name": config.DATASET.DATASET,
+        "n_shot": config.DATASET.NUM_SAMPLES_PER_CLASS,
+        "rnd_seeds": [config.DATASET.RANDOM_SEED_SAMPLING],
+        "predictions": [model_info["best_logits"].tolist()]
+        if model_info.get("best_logits") is not None
+        else [],
+        "num_trainable_params": model_info.get("n_trainable_params"),
+    }
+    submit_predictions(submission, args.submit_by, config)

@@ -221,6 +221,7 @@ _C.TPU.FUSED_MLP = False            # fused LN2->MLP->residual Pallas kernel (dg
 _C.TPU.MAX_DEVICE_DATA_GB = 4.0     # train splits above this stream from host RAM
 _C.TPU.CHECKPOINT_DIR = ""          # orbax save/resume dir ('' = disabled)
 _C.TPU.SWEEP_CACHE_DIR = "auto"     # sweep trial-score cache for crash/preemption resume: 'auto' = <run output dir>/sweep_cache (CLI), '' disables, else explicit dir — consumed by train/sweep_cache.py via sweep._run_stage
+_C.TPU.SKIP_COMPLETED_JOBS = True   # campaign resume: a CLI job whose prediction artifact + fingerprint sidecar match skips training and replays the recorded result — consumed by commands/_common.run_training_command
 
 _C.seal()
 
