@@ -36,6 +36,7 @@ __all__ = [
     "serving_weights",
     "save_exported",
     "load_exported",
+    "InferencePipeline",
 ]
 
 
@@ -177,6 +178,113 @@ def serving_weights(trainable, frozen, bn_state, *, quantize: bool = False) -> d
     if quantize:
         bundle = quantize_tree(bundle)
     return {"bundle": bundle, "bn_state": bn_state}
+
+
+class InferencePipeline:
+    """Host-side serving driver: bucketed batching + double-buffered feed.
+
+    An exported artifact serves any batch size (symbolic ``b``), but a naive
+    server loop has two costs the artifact cannot fix by itself:
+
+    * every DISTINCT request size re-lowers the program under jit — an
+      adversarial size mix compiles without bound;
+    * calling transfer -> compute -> fetch serially pays
+      ``transfer + compute`` per batch, though XLA's async dispatch can
+      overlap them.
+
+    This driver packs requests into power-of-two BUCKETS (bounded compile
+    count; ragged tails zero-padded, logits sliced back) and keeps
+    ``depth`` batches in flight so batch i+1's host->device transfer is
+    enqueued while batch i computes: sustained throughput approaches
+    ``max(transfer, compute)`` instead of their sum.  The reference has no
+    serving path at all (SURVEY.md §5.4); this is the runtime counterpart
+    of :func:`export_classifier`.
+
+    ``call_fn`` is anything shaped like ``f(images_u8) -> logits`` — an
+    ``Exported.call``, a jitted serving fn from :func:`make_serving_fn`, or
+    a partial binding the weight bundle of a ``bake_weights=False``
+    artifact (``lambda x: exp.call(weights, x)``).
+    """
+
+    def __init__(self, call_fn, *, max_batch: int = 256, min_bucket: int = 8,
+                 depth: int = 2):
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        if min_bucket < 1 or max_batch < min_bucket:
+            raise ValueError(f"need 1 <= min_bucket <= max_batch, got {min_bucket}, {max_batch}")
+        self._fn = call_fn
+        self.max_batch = int(max_batch)
+        self.min_bucket = int(min_bucket)
+        self.depth = int(depth)
+        self.stats = {"images": 0, "batches": 0, "seconds": 0.0}
+
+    def _bucket(self, n: int) -> int:
+        b = self.min_bucket
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def run(self, batches) -> "list":
+        """Drive an iterable of uint8 image arrays; logits in input order.
+
+        Each element may be any length; elements longer than ``max_batch``
+        are split.  Returns one float32 numpy logits array per input
+        element.
+        """
+        import time as _time
+
+        import numpy as np
+
+        t0 = _time.perf_counter()
+        # (device_logits, n_valid, out_index, row_offset) in flight
+        inflight: list = []
+        outputs: dict = {}
+        sizes: dict = {}
+
+        def drain(limit: int) -> None:
+            while len(inflight) > limit:
+                dev, n, idx, off = inflight.pop(0)
+                outputs.setdefault(idx, []).append((off, np.asarray(dev[:n], np.float32)))
+
+        n_elems = 0
+        for idx, imgs in enumerate(batches):
+            n_elems += 1
+            imgs = np.asarray(imgs)
+            sizes[idx] = imgs.shape[0]
+            for off in range(0, imgs.shape[0], self.max_batch):
+                chunk = imgs[off : off + self.max_batch]
+                n = chunk.shape[0]
+                b = self._bucket(n)
+                if n < b:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((b - n,) + chunk.shape[1:], chunk.dtype)]
+                    )
+                # enqueue transfer + compute, then fetch only the batch that
+                # falls out of the window — the device works while the host
+                # pads/ships the next chunk
+                inflight.append((self._fn(jnp.asarray(chunk)), n, idx, off))
+                self.stats["batches"] += 1
+                self.stats["images"] += n
+                drain(self.depth - 1)
+        drain(0)
+        self.stats["seconds"] += _time.perf_counter() - t0
+
+        results = []
+        for idx in range(n_elems):
+            parts = sorted(outputs[idx])
+            arr = np.concatenate([p for _, p in parts]) if len(parts) > 1 else parts[0][1]
+            assert arr.shape[0] == sizes[idx]
+            results.append(arr)
+        return results
+
+    def __call__(self, images):
+        """Single-array convenience: ``(N, H, W, 3) u8 -> (N, K) f32``."""
+        return self.run([images])[0]
+
+    @property
+    def throughput(self) -> float:
+        """Sustained images/sec across every ``run`` so far."""
+        return self.stats["images"] / self.stats["seconds"] if self.stats["seconds"] else 0.0
 
 
 def save_exported(exported: jax_export.Exported, path) -> None:

@@ -1,0 +1,80 @@
+"""InferencePipeline: the host-side serving driver (pevit_tpu/serve.py).
+
+Covers logit correctness against the plain serving fn (ragged sizes, order,
+splitting past max_batch), the bounded-compile bucket contract, artifact
+integration, and argument validation.  The reference has no serving runtime
+(SURVEY.md §5.4) — this is a beyond-reference component.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pevit_tpu.serve import InferencePipeline, export_classifier, make_serving_fn
+
+from .test_serve_export import RES, _images, _tiny_task
+
+
+@pytest.fixture(scope="module")
+def served():
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    return make_serving_fn(static, trainable, frozen, bn_state, preproc)
+
+
+def test_ragged_stream_matches_direct(served):
+    pipe = InferencePipeline(served, max_batch=8, min_bucket=2, depth=3)
+    sizes = [3, 17, 5, 1, 8]
+    batches = [np.asarray(_images(n)) for n in sizes]
+    outs = pipe.run(batches)
+    assert [o.shape for o in outs] == [(n, 4) for n in sizes]
+    for imgs, got in zip(batches, outs):
+        np.testing.assert_allclose(
+            got, np.asarray(served(jnp.asarray(imgs)), np.float32), rtol=1e-5, atol=1e-5
+        )
+    assert pipe.stats["images"] == sum(sizes)
+    assert pipe.throughput > 0
+
+
+def test_bucketing_bounds_distinct_shapes(served):
+    seen = set()
+
+    def counting(x):
+        seen.add(x.shape[0])
+        return served(x)
+
+    pipe = InferencePipeline(counting, max_batch=8, min_bucket=4)
+    pipe.run([_images(n) for n in range(1, 9)])
+    # sizes 1..8 collapse onto exactly the {4, 8} buckets
+    assert seen == {4, 8}
+
+
+def test_single_array_call(served):
+    pipe = InferencePipeline(served, max_batch=4, min_bucket=4)
+    imgs = np.asarray(_images(10))  # 4 + 4 + 2(padded to 4)
+    got = pipe(imgs)
+    np.testing.assert_allclose(
+        got, np.asarray(served(jnp.asarray(imgs)), np.float32), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_exported_artifact_through_pipeline(served, tmp_path):
+    from pevit_tpu.serve import load_exported, save_exported
+
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    exp = export_classifier(static, trainable, frozen, bn_state, preproc, image_size=RES)
+    save_exported(exp, tmp_path / "clf.stablehlo")
+    loaded = load_exported(tmp_path / "clf.stablehlo")
+
+    pipe = InferencePipeline(loaded.call, max_batch=8, min_bucket=8)
+    got = pipe(np.asarray(_images(11)))
+    np.testing.assert_allclose(
+        got, np.asarray(served(_images(11)), np.float32), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        InferencePipeline(lambda x: x, depth=0)
+    with pytest.raises(ValueError):
+        InferencePipeline(lambda x: x, max_batch=4, min_bucket=8)
