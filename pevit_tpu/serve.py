@@ -250,6 +250,8 @@ class InferencePipeline:
         for idx, imgs in enumerate(batches):
             n_elems += 1
             imgs = np.asarray(imgs)
+            if imgs.shape[0] == 0:
+                raise ValueError("empty image batch in stream")
             sizes[idx] = imgs.shape[0]
             for off in range(0, imgs.shape[0], self.max_batch):
                 chunk = imgs[off : off + self.max_batch]

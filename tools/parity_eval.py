@@ -102,9 +102,14 @@ def main(argv=None):
     if args.smoke:
         args.no_tuning, args.lr, args.l2 = "True", 0.01, 1e-4
         # The smoke grid is a harness/CLI check, not a perf run: keep it off
-        # the (single, shared) TPU chip.  The axon sitecustomize overrides
-        # the JAX_PLATFORMS env var, so force the platform via jax.config
-        # BEFORE any backend initialises (CLAUDE.md environment rules).
+        # the (single, shared) TPU chip.  BOTH knobs are required: the env
+        # var keeps the axon PJRT plugin from dialing its (sometimes wedged)
+        # relay during plugin discovery, and the config update wins over the
+        # sitecustomize that overwrites jax_platforms at interpreter start
+        # (measured r3: config-only hung on a wedged relay with 0 CPU).
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
