@@ -207,12 +207,18 @@ class InferencePipeline:
     """
 
     def __init__(self, call_fn, *, max_batch: int = 256, min_bucket: int = 8,
-                 depth: int = 2):
+                 depth: int = 2, place_fn=None):
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         if min_bucket < 1 or max_batch < min_bucket:
             raise ValueError(f"need 1 <= min_bucket <= max_batch, got {min_bucket}, {max_batch}")
         self._fn = call_fn
+        # ``place_fn`` maps a padded host chunk onto the device(s); default
+        # single-device transfer.  For a mesh-exported artifact pass e.g.
+        # ``lambda x: jax.device_put(x, NamedSharding(mesh, P("data", ...)))``
+        # and make ``min_bucket``/``max_batch`` multiples of the mesh's data
+        # width (every placed batch is then width-divisible).
+        self._place = place_fn or jnp.asarray
         self.max_batch = int(max_batch)
         self.min_bucket = int(min_bucket)
         self.depth = int(depth)
@@ -264,7 +270,7 @@ class InferencePipeline:
                 # enqueue transfer + compute, then fetch only the batch that
                 # falls out of the window — the device works while the host
                 # pads/ships the next chunk
-                inflight.append((self._fn(jnp.asarray(chunk)), n, idx, off))
+                inflight.append((self._fn(self._place(chunk)), n, idx, off))
                 self.stats["batches"] += 1
                 self.stats["images"] += n
                 drain(self.depth - 1)

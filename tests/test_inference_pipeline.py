@@ -73,6 +73,37 @@ def test_exported_artifact_through_pipeline(served, tmp_path):
     )
 
 
+def test_mesh_artifact_through_pipeline(served):
+    """GSPMD serving artifact driven by the pipeline with a sharded place_fn."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (conftest forces 8 virtual CPUs)")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    from pevit_tpu.serve import serving_weights
+
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, preproc,
+        image_size=RES, bake_weights=False, mesh=mesh,
+    )
+    weights = jax.device_put(
+        serving_weights(trainable, frozen, bn_state), NamedSharding(mesh, PartitionSpec())
+    )
+    img_sh = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+    pipe = InferencePipeline(
+        lambda x: exp.call(weights, x),
+        max_batch=16, min_bucket=4,  # multiples of the mesh width
+        place_fn=lambda x: jax.device_put(x, img_sh),
+    )
+    got = pipe(np.asarray(_images(22)))  # 16 + 6->pad 8
+    np.testing.assert_allclose(
+        got, np.asarray(served(_images(22)), np.float32), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_validation():
     with pytest.raises(ValueError):
         InferencePipeline(lambda x: x, depth=0)
