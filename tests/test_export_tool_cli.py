@@ -81,3 +81,58 @@ def test_train_checkpoint_export_replay(tmp_path):
         np.asarray(loaded.call(weights, x)), np.asarray(serve(x)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_mesh_export_flag(tmp_path):
+    """--mesh N authors a GSPMD data-parallel artifact (nr_devices == N)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (conftest forces 8 virtual CPUs)")
+
+    ds, model = _write_cfgs(tmp_path)
+    out = tmp_path / "clf_mesh.stablehlo"
+    tool = _load_tool()
+    exported = tool.main([
+        "--model", model, "--ds", ds, "--method", "kadaptation",
+        "--weights-as-args", "--mesh", "4", "--out", str(out),
+        "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+        "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False",
+    ])
+    assert exported.nr_devices == 4
+    from pevit_tpu.serve import load_exported
+
+    assert load_exported(out).nr_devices == 4
+    # symbolic batch constrained to multiples of the mesh width
+    assert str(exported.in_avals[-1].shape[0]) == "4*b"
+
+
+def test_mesh_export_flag_too_few_devices(tmp_path):
+    ds, model = _write_cfgs(tmp_path)
+    tool = _load_tool()
+    with pytest.raises(SystemExit, match="visible devices"):
+        tool.main([
+            "--model", model, "--ds", ds, "--mesh", "999",
+            "--out", str(tmp_path / "x.stablehlo"),
+        ])
+
+
+@pytest.mark.slow
+def test_serve_bench_smoke(tmp_path, capsys):
+    """tools/serve_bench.py runs both arms and reports throughput JSON."""
+    import json as _json
+
+    ds, model = _write_cfgs(tmp_path)
+    spec = importlib.util.spec_from_file_location(
+        "serve_bench", REPO / "tools" / "serve_bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    results = mod.main([
+        "--model", model, "--ds", ds, "--batch", "2", "--images", "4",
+        "--reps", "1", "--depths", "2",
+        "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+        "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False",
+    ])
+    assert set(results) == {"naive", "pipe2"}
+    assert all(v and v[0] > 0 for v in results.values())
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert {_json.loads(l)["arm"] for l in lines} == {"naive", "pipe2"}

@@ -52,6 +52,13 @@ def main(argv=None):
                     "With --weights-as-args, call with serving_weights(..., quantize=True)")
     ap.add_argument("--platforms", default="",
                     help="comma-separated lowering platforms, e.g. 'cpu,tpu' (default: current)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="export a DATA-PARALLEL GSPMD artifact over an N-device mesh "
+                    "(batch sharded on the 'data' axis, weights replicated; "
+                    "Exported.nr_devices records N).  Needs N visible devices at "
+                    "export time — use JAX_PLATFORMS=cpu + "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N to author "
+                    "an artifact for an N-chip serving pod from a 1-chip host")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("opts", nargs=argparse.REMAINDER, help="KEY VALUE config overrides")
     args = ap.parse_args(argv)
@@ -106,12 +113,27 @@ def main(argv=None):
     else:
         print("NO checkpoint dir given: exporting the fresh-init model")
 
+    mesh = None
+    if args.mesh:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if len(devs) < args.mesh:
+            raise SystemExit(
+                f"--mesh {args.mesh} needs {args.mesh} visible devices, have "
+                f"{len(devs)} (hint: JAX_PLATFORMS=cpu XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={args.mesh})"
+            )
+        mesh = Mesh(np.array(devs[: args.mesh]), ("data",))
+
     exported = export_classifier(
         static, trainable, frozen, bn_state, task.preproc,
         image_size=config.TRAIN.IMAGE_SIZE[0],
         dynamic_batch=not args.static_batch,
         bake_weights=not args.weights_as_args,
         platforms=[p for p in args.platforms.split(",") if p] or None,
+        mesh=mesh,
         forward_fn=getattr(task, "_forward_fn", None),
         quantize=args.quantize,
     )
@@ -120,7 +142,7 @@ def main(argv=None):
     print(f"exported {args.out}: {size_mb:.1f} MB, "
           f"in={[str(a) for a in exported.in_avals]}, "
           f"out={[str(a) for a in exported.out_avals]}, "
-          f"platforms={exported.platforms}")
+          f"platforms={exported.platforms}, nr_devices={exported.nr_devices}")
     return exported
 
 

@@ -1,0 +1,206 @@
+#!/usr/bin/env python
+"""Serving throughput benchmark: artifact replay through InferencePipeline.
+
+Measures sustained images/sec of a StableHLO serving artifact (or a freshly
+exported one) under three drivers and prints one JSON line per arm:
+
+  * ``naive``  — transfer -> compute -> fetch, strictly serial per batch;
+  * ``pipeN``  — :class:`pevit_tpu.serve.InferencePipeline` with N batches
+    in flight (double/triple buffering: the device computes batch i while
+    the host pads + ships batch i+1).
+
+The reference has no serving runtime at all (SURVEY.md §5.4); this tool is
+the measurement harness for the beyond-reference serving stack and the
+source of the serving numbers in ARCHITECTURE.md.
+
+    # fresh-export B/32, bf16, batch 256, 8192 synthetic images, on the TPU
+    python tools/serve_bench.py --model resources/model/vitb32_CLIP.yaml \
+        --batch 256 --images 8192 MODEL.PRETRAINED random
+
+    # replay a previously exported program-only artifact
+    python tools/serve_bench.py --artifact clf.stablehlo --weights-from ckpt/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def _build_call(args, config):
+    """Returns (call_fn, image_size) with weights already on device."""
+    import jax
+
+    from pevit_tpu.ckpt import load_clip, restore_trainable
+    from pevit_tpu.core.clip import CLIPSpec
+    from pevit_tpu.core.resnet import RN_SPECS
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.serve import export_classifier, serving_weights
+    from pevit_tpu.train import TaskStatic, TrainTask
+
+    name = config.MODEL.NAME
+    ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
+    clip_params, spec = load_clip(
+        name, checkpoint_path=ckpt, seed=args.seed,
+        spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
+    )
+    static = TaskStatic.from_config(config, spec, PeftConfig(method=args.method))
+    task = TrainTask(config, static, clip_params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(args.seed))
+    if args.weights_from:
+        trainable = restore_trainable(args.weights_from, trainable)
+
+    t0 = time.time()
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, task.preproc,
+        image_size=config.TRAIN.IMAGE_SIZE[0], bake_weights=False,
+        quantize=args.quantize,
+    )
+    weights = jax.device_put(
+        serving_weights(trainable, frozen, bn_state, quantize=args.quantize)
+    )
+    print(f"# export {time.time() - t0:.1f}s", flush=True)
+    return (lambda x: exp.call(weights, x)), config.TRAIN.IMAGE_SIZE[0]
+
+
+def _load_call(args):
+    """Replay mode: deserialize an artifact; weight bundle if program-only."""
+    import jax
+
+    from pevit_tpu.serve import load_exported
+
+    exp = load_exported(args.artifact)
+    n_in = len(exp.in_avals)
+    img_aval = exp.in_avals[-1]
+    image_size = int(img_aval.shape[1])
+    if n_in == 1:  # baked weights
+        return exp.call, image_size
+    if not args.weights_from:
+        raise SystemExit("program-only artifact: pass --weights-from <orbax dir> "
+                         "plus the same --model/--ds/--method used at export")
+    from pevit_tpu.ckpt import load_clip, restore_trainable
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.core.clip import CLIPSpec
+    from pevit_tpu.core.resnet import RN_SPECS
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.serve import serving_weights
+    from pevit_tpu.train import TaskStatic, TrainTask
+
+    config = _config_from(args)
+    name = config.MODEL.NAME
+    clip_params, spec = load_clip(
+        name, checkpoint_path=config.MODEL.PRETRAINED or None, seed=args.seed,
+        spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
+    )
+    static = TaskStatic.from_config(config, spec, PeftConfig(method=args.method))
+    task = TrainTask(config, static, clip_params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(args.seed))
+    trainable = restore_trainable(args.weights_from, trainable)
+    weights = jax.device_put(
+        serving_weights(trainable, frozen, bn_state, quantize=args.quantize)
+    )
+    return (lambda x: exp.call(weights, x)), image_size
+
+
+def _config_from(args):
+    from pevit_tpu.config import get_default_config, update_config
+
+    config = get_default_config()
+    for cfg_file in (args.ds, args.model):
+        if cfg_file:
+            args.cfg = cfg_file
+            update_config(config, args)
+    return config
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
+    )
+    ap.add_argument("--artifact", default="", help="replay this .stablehlo artifact "
+                    "(default: fresh export from --model/--ds)")
+    ap.add_argument("--model", default="", help="model YAML (fresh-export mode)")
+    ap.add_argument("--ds", default="", help="dataset YAML (sets NUM_CLASSES)")
+    ap.add_argument("--method", default="kadaptation")
+    ap.add_argument("--weights-from", default="", help="Orbax dir for the trained "
+                    "state (program-only artifacts / fresh export)")
+    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--images", type=int, default=8192)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--depths", default="2,3", help="pipeline depths to measure")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("opts", nargs=argparse.REMAINDER, help="KEY VALUE config overrides")
+    args = ap.parse_args(argv)
+
+    from pevit_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pevit_tpu.serve import InferencePipeline
+
+    if args.artifact:
+        call, image_size = _load_call(args)
+    else:
+        if not args.model:
+            raise SystemExit("need --model (fresh export) or --artifact (replay)")
+        call, image_size = _build_call(args, _config_from(args))
+
+    rng = np.random.default_rng(args.seed)
+    n = (args.images // args.batch) * args.batch or args.batch
+    stream = rng.integers(0, 256, (n, image_size, image_size, 3), np.uint8)
+
+    t0 = time.time()
+    w = call(jnp.asarray(stream[: args.batch]))
+    _ = float(np.asarray(w[:1, :1]).ravel()[0])  # burn compile + first-dispatch tax
+    print(f"# warmup {time.time() - t0:.1f}s", flush=True)
+
+    def run_naive():
+        out = []
+        for off in range(0, n, args.batch):
+            dev = call(jnp.asarray(stream[off:off + args.batch]))
+            out.append(np.asarray(dev, np.float32))  # fetch blocks the next ship
+        return np.concatenate(out)
+
+    def run_pipe(depth):
+        pipe = InferencePipeline(call, max_batch=args.batch,
+                                 min_bucket=args.batch, depth=depth)
+        return pipe(stream)
+
+    arms = [("naive", run_naive)]
+    arms += [(f"pipe{d}", (lambda d=d: run_pipe(d)))
+             for d in (int(x) for x in args.depths.split(",") if x)]
+    results = {name: [] for name, _ in arms}
+    ref = None
+    for rep in range(args.reps):  # interleaved reps: relay drift hits all arms
+        for name, fn in arms:
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            results[name].append(n / dt)
+            if ref is None:
+                ref = out
+            elif not np.allclose(out, ref, atol=1e-2):
+                raise SystemExit(f"{name} rep{rep}: logits mismatch vs first arm")
+            print(f"# {name} rep{rep}: {n / dt:.0f} img/s ({dt:.1f}s)", flush=True)
+
+    for name, vals in results.items():
+        print(json.dumps({
+            "arm": name, "img_per_s_best": round(max(vals), 1),
+            "img_per_s_all": [round(v, 1) for v in vals],
+            "batch": args.batch, "images": n,
+        }), flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
