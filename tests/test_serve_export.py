@@ -172,3 +172,36 @@ def test_static_batch_export():
     # a static export must reject other batch sizes rather than mis-serve
     with pytest.raises(Exception):
         exp.call(_images(3))
+
+
+def test_quantized_mesh_export(tmp_path):
+    """int8 weight bundle + GSPMD data-parallel program in one artifact:
+    the small-push serving-pod deployment (quantized bundle replicated,
+    batch sharded)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (conftest forces 8 virtual CPUs)")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    serve = make_serving_fn(static, trainable, frozen, bn_state, preproc,
+                            quantize=True)
+    exp = export_classifier(
+        static, trainable, frozen, bn_state, preproc,
+        image_size=RES, bake_weights=False, mesh=mesh, quantize=True,
+    )
+    assert exp.nr_devices == 4
+    loaded = load_exported(save_exported(exp, tmp_path / "q_dp.stablehlo")
+                           or tmp_path / "q_dp.stablehlo")
+
+    weights = jax.device_put(
+        serving_weights(trainable, frozen, bn_state, quantize=True),
+        NamedSharding(mesh, PartitionSpec()),
+    )
+    img_sh = NamedSharding(mesh, PartitionSpec("data", None, None, None))
+    x = jax.device_put(_images(8), img_sh)
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(weights, x)),
+        np.asarray(serve(_images(8))), rtol=1e-5, atol=1e-5,
+    )
