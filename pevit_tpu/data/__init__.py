@@ -1,3 +1,4 @@
+from .mlm import IGNORE_INDEX, mask_tokens
 from .prompts import class_map, get_class_names, get_templates, template_map
 from .registry import ELEVATER_DATASETS, DatasetInfo, get_dataset_info
 from .sampling import class_balanced_val_split, sample_few_shot_subset
@@ -19,7 +20,9 @@ __all__ = [
     "get_dataset_info",
     "get_templates",
     "get_tokenizer",
+    "IGNORE_INDEX",
     "load_split",
+    "mask_tokens",
     "preprocess_batch",
     "resize_center_crop",
     "sample_few_shot_subset",
