@@ -1,0 +1,92 @@
+"""HTTP serving daemon (tools/serve_daemon.py): .npy protocol, health/stats,
+error handling, logits parity with the direct serving fn.  Server built via
+make_server with the tiny-task callable and driven over a real socket."""
+
+import importlib.util
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from .test_serve_export import RES, _images, _tiny_task
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_daemon():
+    spec = importlib.util.spec_from_file_location(
+        "serve_daemon", REPO / "tools" / "serve_daemon.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def server():
+    from pevit_tpu.serve import make_serving_fn
+
+    static, trainable, frozen, bn_state, preproc = _tiny_task()
+    serve = make_serving_fn(static, trainable, frozen, bn_state, preproc)
+    daemon = _load_daemon()
+    srv = daemon.make_server(serve, RES, port=0, max_batch=8, min_bucket=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield url, serve
+    srv.shutdown()
+
+
+def _post_npy(url, arr):
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    req = urllib.request.Request(url + "/infer", data=buf.getvalue())
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return np.load(io.BytesIO(r.read()))
+
+
+def test_healthz_and_infer_parity(server):
+    url, serve = server
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h == {"status": "ok", "image_size": RES}
+
+    imgs = np.asarray(_images(5))
+    got = _post_npy(url, imgs)
+    want = np.asarray(serve(imgs), np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    with urllib.request.urlopen(url + "/stats", timeout=30) as r:
+        stats = json.loads(r.read())
+    assert stats["images"] >= 5 and stats["throughput"] > 0
+
+
+def test_bad_requests_stay_up(server):
+    url, serve = server
+    # wrong dtype
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_npy(url, np.zeros((2, RES, RES, 3), np.float32))
+    assert e.value.code == 400
+    # wrong resolution
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post_npy(url, np.zeros((2, RES + 1, RES + 1, 3), np.uint8))
+    assert e.value.code == 400
+    # garbage body
+    req = urllib.request.Request(url + "/infer", data=b"not-an-npy")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # unknown path
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url + "/nope", timeout=30)
+    assert e.value.code == 404
+    # server still healthy and correct after the abuse
+    imgs = np.asarray(_images(3))
+    np.testing.assert_allclose(
+        _post_npy(url, imgs), np.asarray(serve(imgs), np.float32),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -33,81 +33,6 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def _build_call(args, config):
-    """Returns (call_fn, image_size) with weights already on device."""
-    import jax
-
-    from pevit_tpu.ckpt import load_clip, restore_trainable
-    from pevit_tpu.core.clip import CLIPSpec
-    from pevit_tpu.core.resnet import RN_SPECS
-    from pevit_tpu.peft import PeftConfig
-    from pevit_tpu.serve import export_classifier, serving_weights
-    from pevit_tpu.train import TaskStatic, TrainTask
-
-    name = config.MODEL.NAME
-    ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
-    clip_params, spec = load_clip(
-        name, checkpoint_path=ckpt, seed=args.seed,
-        spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
-    )
-    static = TaskStatic.from_config(config, spec, PeftConfig(method=args.method))
-    task = TrainTask(config, static, clip_params)
-    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(args.seed))
-    if args.weights_from:
-        trainable = restore_trainable(args.weights_from, trainable)
-
-    t0 = time.time()
-    exp = export_classifier(
-        static, trainable, frozen, bn_state, task.preproc,
-        image_size=config.TRAIN.IMAGE_SIZE[0], bake_weights=False,
-        quantize=args.quantize,
-    )
-    weights = jax.device_put(
-        serving_weights(trainable, frozen, bn_state, quantize=args.quantize)
-    )
-    print(f"# export {time.time() - t0:.1f}s", flush=True)
-    return (lambda x: exp.call(weights, x)), config.TRAIN.IMAGE_SIZE[0]
-
-
-def _load_call(args):
-    """Replay mode: deserialize an artifact; weight bundle if program-only."""
-    import jax
-
-    from pevit_tpu.serve import load_exported
-
-    exp = load_exported(args.artifact)
-    n_in = len(exp.in_avals)
-    img_aval = exp.in_avals[-1]
-    image_size = int(img_aval.shape[1])
-    if n_in == 1:  # baked weights
-        return exp.call, image_size
-    if not args.weights_from:
-        raise SystemExit("program-only artifact: pass --weights-from <orbax dir> "
-                         "plus the same --model/--ds/--method used at export")
-    from pevit_tpu.ckpt import load_clip, restore_trainable
-    from pevit_tpu.config import get_default_config
-    from pevit_tpu.core.clip import CLIPSpec
-    from pevit_tpu.core.resnet import RN_SPECS
-    from pevit_tpu.peft import PeftConfig
-    from pevit_tpu.serve import serving_weights
-    from pevit_tpu.train import TaskStatic, TrainTask
-
-    config = _config_from(args)
-    name = config.MODEL.NAME
-    clip_params, spec = load_clip(
-        name, checkpoint_path=config.MODEL.PRETRAINED or None, seed=args.seed,
-        spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
-    )
-    static = TaskStatic.from_config(config, spec, PeftConfig(method=args.method))
-    task = TrainTask(config, static, clip_params)
-    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(args.seed))
-    trainable = restore_trainable(args.weights_from, trainable)
-    weights = jax.device_put(
-        serving_weights(trainable, frozen, bn_state, quantize=args.quantize)
-    )
-    return (lambda x: exp.call(weights, x)), image_size
-
-
 def _config_from(args):
     from pevit_tpu.config import get_default_config, update_config
 
@@ -147,13 +72,15 @@ def main(argv=None):
     import numpy as np
 
     from pevit_tpu.serve import InferencePipeline
+    from pevit_tpu.serving_loader import load_serving_callable
 
-    if args.artifact:
-        call, image_size = _load_call(args)
-    else:
-        if not args.model:
-            raise SystemExit("need --model (fresh export) or --artifact (replay)")
-        call, image_size = _build_call(args, _config_from(args))
+    if not args.artifact and not args.model:
+        raise SystemExit("need --model (fresh export) or --artifact (replay)")
+    config = _config_from(args) if (args.model or args.ds) else None
+    call, image_size = load_serving_callable(
+        artifact=args.artifact, config=config, method=args.method,
+        weights_from=args.weights_from, quantize=args.quantize, seed=args.seed,
+    )
 
     rng = np.random.default_rng(args.seed)
     n = (args.images // args.batch) * args.batch or args.batch
