@@ -32,8 +32,16 @@ def _build_task(config, method: str, seed: int):
         name, checkpoint_path=ckpt, seed=seed,
         spec_hint=None if name in RN_SPECS else CLIPSpec.from_config(config),
     )
+    # honour the text-initialised (zero-shot) head exactly like the export
+    # tool and the training CLI do — a program-only artifact's weight
+    # bundle must be rebuilt with the SAME head init it was exported with
+    text_weights = None
+    if config.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER:
+        from .evaluation.text_features import extract_text_features
+
+        text_weights = extract_text_features(config, clip_params, spec)
     static = TaskStatic.from_config(config, spec, PeftConfig(method=method))
-    task = TrainTask(config, static, clip_params)
+    task = TrainTask(config, static, clip_params, text_init_weights=text_weights)
     trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(seed))
     return task, static, trainable, frozen, bn_state
 

@@ -136,3 +136,71 @@ def test_serve_bench_smoke(tmp_path, capsys):
     assert all(v and v[0] > 0 for v in results.values())
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert {_json.loads(l)["arm"] for l in lines} == {"naive", "pipe2"}
+
+
+@pytest.mark.slow
+def test_zeroshot_export_text_head(tmp_path):
+    """TRAIN.INIT_HEAD_WITH_TEXT_ENCODER at export time = a zero-shot
+    classifier artifact in one command (no training, no checkpoint) —
+    serving twin of the reference's linear_probe --emulate-zeroshot."""
+    _, model = _write_cfgs(tmp_path)
+    ds = "resources/datasets/cifar10.yaml"  # real class names/templates
+    flags = ["--model", model, "--ds", str(ds), "--method", "linear_probe",
+             "--weights-as-args"]
+    kv = ["TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+          "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False",
+          "DATASET.ROOT", str(tmp_path / "none"), "MODEL.PRETRAINED", "random"]
+    tool = _load_tool()
+    zs = tool.main(flags + ["--out", str(tmp_path / "zs.stablehlo")]
+                   + kv + ["TRAIN.INIT_HEAD_WITH_TEXT_ENCODER", "True"])
+
+    # expected: the SAME task built in-process with the text-feature head
+    from pevit_tpu.ckpt import load_clip
+    from pevit_tpu.config import get_default_config, update_config
+    from pevit_tpu.core.clip import CLIPSpec
+    from pevit_tpu.evaluation.text_features import extract_text_features
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.serve import make_serving_fn, serving_weights
+    from pevit_tpu.train import TaskStatic, TrainTask
+
+    class _A:
+        opts = kv + ["TRAIN.INIT_HEAD_WITH_TEXT_ENCODER", "True"]
+
+    cfg = get_default_config()
+    for f in (str(ds), model):
+        _A.cfg = f
+        update_config(cfg, _A)
+    clip_params, spec = load_clip("ViT-B/32", checkpoint_path=None, seed=0,
+                                  spec_hint=CLIPSpec.from_config(cfg))
+    tw = extract_text_features(cfg, clip_params, spec)
+    assert tw.shape[1] == 10  # (embed_dim, K)
+    static = TaskStatic.from_config(cfg, spec, PeftConfig(method="linear_probe"))
+    task = TrainTask(cfg, static, clip_params, text_init_weights=tw)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(0))
+    serve = make_serving_fn(static, trainable, frozen, bn_state, task.preproc)
+    weights = serving_weights(trainable, frozen, bn_state)
+
+    x = jnp.asarray(np.random.default_rng(1).integers(0, 255, (4, 32, 32, 3),
+                                                      dtype=np.uint8))
+    np.testing.assert_allclose(
+        np.asarray(zs.call(weights, x)), np.asarray(serve(x)),
+        rtol=1e-5, atol=1e-5,
+    )
+    # the text init actually bit: a bundle built WITHOUT it disagrees
+    # (program-only artifacts carry the head in the bundle, not the program)
+    task_rnd = TrainTask(cfg, static, clip_params)
+    tr2, fr2, bn2 = task_rnd.init_bundle(jax.random.PRNGKey(0))
+    assert not np.allclose(
+        np.asarray(zs.call(serving_weights(tr2, fr2, bn2), x)),
+        np.asarray(serve(x)), atol=1e-3)
+
+    # and the DEPLOYMENT path honours the flag: serving_loader rebuilds the
+    # text-initialised bundle from the artifact + config alone
+    from pevit_tpu.serving_loader import load_serving_callable
+
+    call, img_size = load_serving_callable(
+        artifact=str(tmp_path / "zs.stablehlo"), config=cfg,
+        method="linear_probe", verbose=False)
+    assert img_size == 32
+    np.testing.assert_allclose(
+        np.asarray(call(x)), np.asarray(serve(x)), rtol=1e-5, atol=1e-5)

@@ -102,8 +102,22 @@ def main(argv=None):
         backbone = get_model(config)
         clip_params, spec = backbone.params, CLIPSpec.from_config(config)
         feat_dim = backbone.feat_dim
+    # TRAIN.INIT_HEAD_WITH_TEXT_ENCODER True exports a text-initialised head:
+    # with no --ckpt-dir this is a ZERO-SHOT classifier artifact in one
+    # command — the serving twin of the reference's linear_probe
+    # --emulate-zeroshot path (linear_probe.py:88-101).
+    text_weights = None
+    if config.TRAIN.INIT_HEAD_WITH_TEXT_ENCODER:
+        if is_clip:
+            from pevit_tpu.evaluation.text_features import extract_text_features
+
+            text_weights = extract_text_features(config, clip_params, spec)
+        else:
+            print("WARNING: text head init for factory backbones is only wired "
+                  "through the training CLI; exporting a random-init head")
     static = TaskStatic.from_config(config, spec, PeftConfig(method=args.method), feat_dim=feat_dim)
-    task = TrainTask(config, static, clip_params, backbone=backbone)
+    task = TrainTask(config, static, clip_params, backbone=backbone,
+                     text_init_weights=text_weights)
     trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(args.seed))
 
     ckpt_dir = args.ckpt_dir or config.TPU.CHECKPOINT_DIR
