@@ -1,0 +1,41 @@
+"""tools/serve_bench.py: the serving A/B harness itself.
+
+Runs the fresh-export mode on a tiny CPU config and checks that (a) every
+arm produces a positive throughput for every rep and (b) the tool's own
+cross-arm logits equality gate passes (a mismatch raises SystemExit inside
+``main``).  The on-chip numbers live in ARCHITECTURE.md; this test keeps
+the measurement harness honest on CPU.
+"""
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+from tests.test_cli_e2e import _write_cfgs
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _load_tool():
+    spec = importlib.util.spec_from_file_location(
+        "serve_bench", REPO / "tools" / "serve_bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.slow
+def test_serve_bench_arms_agree_and_report(tmp_path):
+    ds, model = _write_cfgs(tmp_path)
+    tool = _load_tool()
+    results = tool.main([
+        "--model", model, "--ds", ds, "--batch", "8", "--images", "32",
+        "--reps", "2", "--depths", "2",
+        "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+        "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False",
+    ])
+    assert set(results) == {"naive", "pipe2"}
+    for arm, rates in results.items():
+        assert len(rates) == 2, arm
+        assert all(r > 0 for r in rates), (arm, rates)
