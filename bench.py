@@ -78,6 +78,7 @@ def _measure(args, model: str) -> float:
     cfg.TPU.FAST_LN = args.fast_ln
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
     cfg.TPU.FUSED_MLP = args.fused_mlp
+    cfg.TPU.STEP_UNROLL = args.step_unroll
     from pevit_tpu.core.clip import set_scan_unroll
     from pevit_tpu.core.layers import set_attn_layout
 
@@ -168,6 +169,7 @@ def _main():
     # fused LN2->MLP->residual Pallas kernel (ops/fused_mlp.py) A/B
     ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--scan-unroll", type=int, default=0)  # layer-loop unroll: 0 full (default), 1 rolled (core/clip.py)
+    ap.add_argument("--step-unroll", type=int, default=1)  # step-loop unroll: 1 fori_loop (default), k>1 scan(unroll=k) over steps (trainer.build_epoch_fn)
     ap.add_argument("--attn-layout", type=str, default="auto", choices=["auto", "bnhd", "bhnd"])
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--measure-torch-cpu", action="store_true")

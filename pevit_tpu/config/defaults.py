@@ -213,6 +213,7 @@ _C.TPU.SWEEP_PARALLEL_TRIALS = 8    # max trials vmapped together PER DEVICE (r2
 _C.TPU.SWEEP_TRIALS_OVER_MESH = True  # shard the vmapped trial axis across devices (independent trials -> pure SPMD, no collectives)
 _C.TPU.REMAT = False                # rematerialize transformer blocks (ViT-B fits without; enable for larger models/batches)
 _C.TPU.SCAN_UNROLL = 0              # transformer layer-loop unroll: 0 full (default; measured +10% B/32 / +24% B/16 train), 1 rolled scan, k partial — consumed by TaskStatic.from_config / core.clip
+_C.TPU.STEP_UNROLL = 1              # step-loop unroll: 1 fori_loop (default), k>1 scan(unroll=k) over train steps (cross-step fusion A/B) — consumed by TaskStatic.from_config / trainer.build_epoch_fn
 _C.TPU.ATTN_LAYOUT = "auto"         # mask-free attention layout: auto (bhnd iff N<=64 — measured +4.5% B/32, crossover at N between 50 and 197), bnhd, bhnd; parity runs pin bnhd — consumed by TaskStatic.from_config / core.layers
 _C.TPU.FAST_LN = False              # LayerNorm stats in activation dtype (speed; off = reference fp32 islands)
 _C.TPU.FAST_LN_SWEEP = False        # FAST_LN for SWEEP stages only (final run keeps fp32 LN); selection-equality gate: tools/fast_ln_gate.py

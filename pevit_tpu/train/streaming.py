@@ -51,22 +51,16 @@ def build_step_fn(static: TaskStatic, preproc: dict, lr_scales=None, forward_fn=
             labels = jax.lax.with_sharding_constraint(labels, batch_sharding)
             mask = jax.lax.with_sharding_constraint(mask, batch_sharding)
         rng, step_rng = jax.random.split(rng)
-        count = jnp.sum(mask)
-
-        def take_step(args):
-            trainable, opt_state, bn_state = args
-            (_, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                trainable, frozen, bn_state, imgs, labels, mask, step_rng
-            )
-            if static.clip_grad_norm > 0:
-                grads = _clip(grads, static.clip_grad_norm)
-            new_trainable, new_opt = opt_update(grads, trainable, opt_state, lr, wd)
-            return new_trainable, new_opt, new_bn
-
-        trainable, opt_state, bn_state = jax.lax.cond(
-            count > 1, take_step, lambda a: a, (trainable, opt_state, bn_state)
+        # Size-1-batch skip (kadaptation_clip.py:342) happens HOST-side in
+        # run_epoch — the tail size is known before dispatch, so no lax.cond
+        # wraps the fwd+bwd (same static resolution as trainer.build_epoch_fn).
+        (_, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, bn_state, imgs, labels, mask, step_rng
         )
-        return trainable, opt_state, bn_state, rng
+        if static.clip_grad_norm > 0:
+            grads = _clip(grads, static.clip_grad_norm)
+        trainable, opt_state = opt_update(grads, trainable, opt_state, lr, wd)
+        return trainable, opt_state, new_bn, rng
 
     return step
 
@@ -95,6 +89,10 @@ class StreamingEpochRunner:
         rng = np.random.default_rng(seed)
         perm = rng.permutation(n)
         steps = math.ceil(n / B)
+        if n - (steps - 1) * B == 1:
+            steps -= 1  # reference skips size-1 batches (kadaptation_clip.py:342)
+        if steps <= 0:
+            return state
 
         def make_batch(i):
             idx = perm[i * B : (i + 1) * B]

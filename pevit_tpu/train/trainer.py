@@ -77,6 +77,7 @@ class TaskStatic:
     timm_filter: bool = False  # timm create_optimizer filter_bias_and_bn
     fast_ln: bool = False
     scan_unroll: int = 0  # layer-loop unroll: 0 full (measured +10%/+24% b32/b16), 1 rolled (core/clip.py)
+    step_unroll: int = 1  # step-loop unroll: 1 fori_loop (default), k>1 scan(unroll=k) over steps
     attn_layout: str = "auto"  # mask-free attention layout: auto = bhnd iff N<=64 (core/layers.py); parity pins bnhd
     merge_encoder_head_proj: bool = False
     feat_dim: int = 0  # 0 => spec.embed_dim (classifier-head input width)
@@ -124,6 +125,7 @@ class TaskStatic:
             two_lr=config.TRAIN.TWO_LR,
             fast_ln=config.TPU.FAST_LN and not config.TPU.PARITY_FP32,
             scan_unroll=int(config.TPU.get("SCAN_UNROLL", 0)),
+            step_unroll=int(config.TPU.get("STEP_UNROLL", 1)),
             # bhnd is a bf16-throughput feature (core/layers.py); fp32 compute
             # means a parity/accuracy context, which keeps the reference-shaped
             # bnhd computation.  (Also: the bhnd trace is not vmap-stable at
@@ -343,24 +345,34 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
                 imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
                 labs = jax.lax.with_sharding_constraint(labs, batch_sharding)
             step_rng = jax.random.fold_in(drop_rng, i)
-            count = jnp.sum(valid)
+            (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                trainable, frozen, bn_state, imgs, labs, valid, step_rng
+            )
+            if static.clip_grad_norm > 0:  # full_model_finetune.py:327-328
+                grads = _clip(grads, static.clip_grad_norm)
+            new_trainable, new_opt = opt_update(grads, trainable, opt_state, lr, wd)
+            return new_trainable, new_opt, new_bn
 
-            def take_step(args):
-                trainable, opt_state, bn_state = args
-                (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    trainable, frozen, bn_state, imgs, labs, valid, step_rng
-                )
-                if static.clip_grad_norm > 0:  # full_model_finetune.py:327-328
-                    grads = _clip(grads, static.clip_grad_norm)
-                new_trainable, new_opt = opt_update(grads, trainable, opt_state, lr, wd)
-                return new_trainable, new_opt, new_bn
+        # The reference skips size-1 batches (kadaptation_clip.py:342).  The
+        # tail-batch size is STATIC (n_train, B are Python ints), so the skip
+        # resolves at trace time to one fewer step — no lax.cond wrapping the
+        # whole fwd+bwd (a cond branch is an XLA fusion barrier across every
+        # step boundary).  Partial tails of size >1 train normally with the
+        # ``valid`` mask (loss mean, BN stats, metrics all mask-aware).
+        tail = n_train - (steps - 1) * B
+        steps_eff = steps - 1 if tail == 1 else steps
+        carry0 = (trainable, opt_state, bn_state)
+        if static.step_unroll > 1:
+            # scan(unroll=k): k step bodies per loop iteration lets XLA fuse
+            # across adjacent step boundaries (cf. the layer-loop unroll win).
+            def scan_body(carry, i):
+                return step(i, carry), None
 
-            # reference skips size-1 batches (kadaptation_clip.py:342)
-            return jax.lax.cond(count > 1, take_step, lambda a: a, (trainable, opt_state, bn_state))
-
-        trainable, opt_state, bn_state = jax.lax.fori_loop(
-            0, steps, step, (trainable, opt_state, bn_state)
-        )
+            (trainable, opt_state, bn_state), _ = jax.lax.scan(
+                scan_body, carry0, jnp.arange(steps_eff), unroll=static.step_unroll
+            )
+        else:
+            trainable, opt_state, bn_state = jax.lax.fori_loop(0, steps_eff, step, carry0)
         return trainable, opt_state, bn_state, rng
 
     return epoch
@@ -906,7 +918,9 @@ class TrainTask:
             frozen["peft"] = jax.tree.map(lambda *xs: jnp.stack(xs), *frozen_pefts)
         trainable_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *trainables)
         bn_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *bns)
-        opt_stack = self._opt_init(trainable_stack)
+        # vmapped init: scalar state leaves (AdamState.step) must carry the
+        # trial axis too, or the trial-vmap over state rejects rank-0 leaves
+        opt_stack = jax.vmap(self._opt_init)(trainable_stack)
         rng_stack = jax.vmap(lambda r: jax.random.fold_in(r, 23))(trial_rngs)
 
         lrs = np.asarray([h[0] for h in hparams], np.float32)

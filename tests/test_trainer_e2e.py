@@ -129,6 +129,66 @@ def test_multilabel_bce_path():
     assert res["best_score"] > 60.0
 
 
+def test_size1_tail_batch_skipped_statically():
+    """The reference skips size-1 batches (kadaptation_clip.py:342).  The
+    tail-batch size is static, so the skip resolves at trace time to one
+    fewer loop step (no lax.cond around the fwd+bwd) — verified by the Adam
+    step counter: n_train=17, B=8 => 3 nominal steps, tail of 1 skipped."""
+    from pevit_tpu.train.optim import AdamState
+
+    def run(n_train):
+        cfg = get_default_config()
+        cfg.DATASET.NUM_CLASSES = N_CLASSES
+        cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
+        cfg.TRAIN.OPTIMIZER = "adam"
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        static = TaskStatic.from_config(cfg, TINY, PeftConfig(method="linear_probe"))
+        clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+        task = TrainTask(cfg, static, clip_params, eval_chunk=32)
+        x, y = synth_data(12, seed=0)
+        task.train_trials(
+            [(0.01, 1e-4)], x[:n_train], y[:n_train], x[:8], y[:8], end_epoch=2, seed=0
+        )
+        opt = task._last_state[1]
+        assert isinstance(opt, AdamState)
+        return int(np.asarray(opt.step)[0])
+
+    assert run(17) == 2 * 2  # tail of 1 skipped: 2 steps/epoch
+    assert run(18) == 3 * 2  # tail of 2 trains (masked): 3 steps/epoch
+    assert run(16) == 2 * 2  # exact multiple: 2 steps/epoch
+
+
+def test_step_unroll_matches_fori_loop():
+    """TPU.STEP_UNROLL=k (scan(unroll=k) over steps) must reproduce the
+    default fori_loop training bit-for-bit in fp32 — same per-step math,
+    only the loop structure changes.  Uses a non-divisible step count
+    (18 samples, B=8 => 3 steps, unroll 2) to exercise the remainder."""
+    train_x, train_y = synth_data(6, seed=6)  # 24 samples
+    val_x, val_y = synth_data(4, seed=7)
+
+    def run(step_unroll):
+        cfg = get_default_config()
+        cfg.DATASET.NUM_CLASSES = N_CLASSES
+        cfg.TRAIN.BATCH_SIZE_PER_GPU = 8
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.STEP_UNROLL = step_unroll
+        static = TaskStatic.from_config(cfg, TINY, PeftConfig(method="lora"))
+        assert static.step_unroll == step_unroll
+        clip_params = init_clip_params(jax.random.PRNGKey(0), TINY)
+        task = TrainTask(cfg, static, clip_params, eval_chunk=32)
+        return task.train_trials(
+            [(0.01, 1e-4)], train_x[:18], train_y[:18], val_x, val_y,
+            end_epoch=3, seed=0, keep_logits=True,
+        )[0]
+
+    base, unrolled = run(1), run(2)
+    assert base["best_score"] == pytest.approx(unrolled["best_score"], abs=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(base["best_logits"]), np.asarray(unrolled["best_logits"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_compacter_trials_draw_distinct_frozen_rules():
     """Frozen-but-random PEFT leaves (compacter's shared phm_rule, U(-1,1),
     never trained) are redrawn PER TRIAL like the reference's per-trial
