@@ -46,18 +46,57 @@ def save_trainable(path: str, trainable: Any, step: int = 0) -> None:
         np.savez(os.path.join(path, f"step_{step}.npz"), **_flatten(trainable))
 
 
-def restore_trainable(path: str, target: Any, step: Optional[int] = None) -> Any:
-    """Restore a trainable pytree saved by ``save_trainable``."""
-    import orbax.checkpoint as ocp
+def _unflatten_into(target: Any, flat: dict, prefix=""):
+    """Rebuild a pytree with ``target``'s structure from a ``_flatten`` dict."""
+    if isinstance(target, dict):
+        return {k: _unflatten_into(v, flat, f"{prefix}{k}/") for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        seq = [_unflatten_into(v, flat, f"{prefix}{i}/") for i, v in enumerate(target)]
+        return type(target)(seq)
+    if target is None:
+        return None
+    key = prefix[:-1]
+    if key not in flat:
+        raise KeyError(f"checkpoint is missing leaf {key!r}")
+    leaf = flat[key]
+    ref = np.asarray(target)
+    return leaf.reshape(ref.shape).astype(ref.dtype)
 
+
+def restore_trainable(path: str, target: Any, step: Optional[int] = None) -> Any:
+    """Restore a trainable pytree saved by ``save_trainable``.
+
+    Handles BOTH formats ``save_trainable`` can produce: Orbax ``step_N``
+    directories and the ``step_N.npz`` fallback (save-with-fallback →
+    restore must work, whichever path the save took).
+    """
     if step is None:
-        steps = sorted(
-            int(d.split("_")[1]) for d in os.listdir(path) if d.startswith("step_")
-        )
+        steps = set()
+        for d in os.listdir(path):
+            if d.startswith("step_"):
+                tail = d[len("step_"):]
+                if tail.endswith(".npz"):
+                    tail = tail[: -len(".npz")]
+                try:
+                    steps.add(int(tail))
+                except ValueError:
+                    continue
         if not steps:
             raise FileNotFoundError(f"no checkpoints under {path}")
-        step = steps[-1]
-    ckpter = ocp.StandardCheckpointer()
-    restored = ckpter.restore(os.path.join(os.path.abspath(path), f"step_{step}"), target)
-    logging.info("=> restored checkpoint from %s/step_%d", path, step)
-    return restored
+        step = max(steps)
+    npz_path = os.path.join(path, f"step_{step}.npz")
+    orbax_path = os.path.join(os.path.abspath(path), f"step_{step}")
+    if os.path.isdir(orbax_path):
+        import orbax.checkpoint as ocp
+
+        ckpter = ocp.StandardCheckpointer()
+        restored = ckpter.restore(orbax_path, target)
+        logging.info("=> restored checkpoint (orbax) from %s/step_%d", path, step)
+        return restored
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            flat = {k: z[k] for k in z.files}
+        restored = _unflatten_into(target, flat)
+        logging.info("=> restored checkpoint (npz fallback) from %s", npz_path)
+        return restored
+    raise FileNotFoundError(f"no step_{step} checkpoint (orbax dir or npz) under {path}")
