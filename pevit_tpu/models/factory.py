@@ -36,6 +36,25 @@ class Backbone:
     # tokenize.  The DeCLIP family ships a shifted vocab (<|mask|> inserted) —
     # declip_model/utils/text_utils/simple_tokenizer.py:61-79.
     tokenize: Optional[Callable] = None
+    # Train-mode forward for backbones with train-time stochasticity
+    # (Swin stochastic depth — reference cls_swin.py:209,280-281):
+    # (params, images_float, rng) -> (B, feat_dim).  None -> train == eval.
+    forward_features_train: Optional[Callable] = None
+
+
+def _swin_spec_from_cfg(mspec, default_spec: _swin.SwinSpec) -> _swin.SwinSpec:
+    """Consume the Swin architecture keys the reference reads from the model
+    spec (cls_swin.py:690-704 top-level; clip_swin.py:175-194 under VISION)
+    instead of silently ignoring them on random init."""
+    return dataclasses.replace(
+        default_spec,
+        patch_size=int(mspec.get("PATCH_SIZE", default_spec.patch_size)),
+        embed_dim=int(mspec.get("EMBED_DIM", default_spec.embed_dim)),
+        depths=tuple(mspec.get("DEPTHS", default_spec.depths)),
+        num_heads=tuple(mspec.get("NUM_HEADS", default_spec.num_heads)),
+        window_size=int(mspec.get("WINDOW_SIZE", default_spec.window_size)),
+        mlp_ratio=float(mspec.get("MLP_RATIO", default_spec.mlp_ratio)),
+    )
 
 
 def _vit_spec_from_name(name: str, num_classes: int = 0) -> _vit.ViTSpec:
@@ -101,6 +120,11 @@ def get_model(config, feature_type: str = "image") -> Backbone:
 
     # --- Swin classifiers (models/cls_swin.py:683-713) ----------------------
     if name.startswith(("cls_swin", "swin")):
+        # training-mode knobs consumed by the reference's get_cls_model
+        # (cls_swin.py:699: DROP_PATH_RATE; :704: LAYER_SCALE)
+        mspec = config.MODEL.SPEC if "SPEC" in config.MODEL else {}
+        drop_path = float(mspec.get("DROP_PATH_RATE", 0.0))
+        layer_scale = bool(mspec.get("LAYER_SCALE", False))
         if ckpt_file:
             from ..ckpt.torch_loader import read_torch_state_dict
 
@@ -109,9 +133,22 @@ def get_model(config, feature_type: str = "image") -> Backbone:
                 raw = raw["model"]
             params, spec = _swin.swin_state_dict_to_params(raw)
             # input resolution is a config property, not a weight shape
-            spec = dataclasses.replace(spec, img_size=config.TRAIN.IMAGE_SIZE[0])
+            spec = dataclasses.replace(
+                spec, img_size=config.TRAIN.IMAGE_SIZE[0], drop_path_rate=drop_path
+            )
+            if layer_scale and not spec.layer_scale:
+                raise ValueError(
+                    "MODEL.SPEC.LAYER_SCALE=True but checkpoint has no gamma params"
+                )
         else:
             spec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
+            spec = _swin_spec_from_cfg(mspec, spec)
+            spec = dataclasses.replace(
+                spec,
+                img_size=config.TRAIN.IMAGE_SIZE[0],
+                drop_path_rate=drop_path,
+                layer_scale=layer_scale,
+            )
             params = _swin.init_swin_params(rng, spec)
             logging.warning("=> %s: RANDOM init (no TEST.MODEL_FILE)", name)
         return Backbone(
@@ -119,6 +156,11 @@ def get_model(config, feature_type: str = "image") -> Backbone:
             params=params,
             feat_dim=spec.stage_dim(spec.num_stages - 1),
             forward_features=lambda p, x: _swin.swin_forward_features(p, x, spec=spec),
+            forward_features_train=(
+                (lambda p, x, rng: _swin.swin_forward_features(p, x, spec=spec, train=True, rng=rng))
+                if spec.drop_path_rate > 0.0
+                else None
+            ),
         )
 
     # --- CLIP with Swin visual tower (models/clip_swin.py:253-284) ----------
@@ -145,6 +187,7 @@ def get_model(config, feature_type: str = "image") -> Backbone:
             embed = cspec.embed_dim
         else:
             sspec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
+            sspec = _swin_spec_from_cfg(config.MODEL.SPEC.get("VISION", {}) or {}, sspec)
             core = init_clip_params(rng, cspec)
             k = jax.random.split(rng)[0]
             params = {

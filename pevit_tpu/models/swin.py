@@ -33,6 +33,13 @@ class SwinSpec:
     window_size: int = 7
     mlp_ratio: float = 4.0
     num_classes: int = 0
+    # Stochastic depth (reference cls_swin.py:209,280-281): DropPath on both
+    # residual branches, per-block rate linearly increasing from 0 to
+    # ``drop_path_rate`` across sum(depths) blocks (cls_swin.py:533).
+    drop_path_rate: float = 0.0
+    # Layer-scale (reference cls_swin.py:237-240): learnable per-dim gamma
+    # (init 1e-4) multiplying both branch outputs before DropPath/residual.
+    layer_scale: bool = False
 
     @property
     def num_stages(self) -> int:
@@ -117,6 +124,8 @@ def init_swin_params(rng: jax.Array, spec: SwinSpec) -> dict:
                     "fc2": _linear_init(next(keys), int(dim * spec.mlp_ratio), dim),
                 }
             )
+            if spec.layer_scale:
+                blocks[-1]["gamma"] = 1e-4 * jnp.ones((dim,), jnp.float32)
         stage = {"blocks": blocks}
         if s < spec.num_stages - 1:
             stage["downsample"] = {
@@ -135,8 +144,18 @@ def init_swin_params(rng: jax.Array, spec: SwinSpec) -> dict:
 # forward
 # ---------------------------------------------------------------------------
 
+def _drop_path(h: jax.Array, p: float, rng: jax.Array) -> jax.Array:
+    """Per-sample stochastic depth (reference cls_swin.py:87-104): keep each
+    sample's branch with prob 1-p, rescale kept ones by 1/(1-p)."""
+    if p <= 0.0:
+        return h
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(rng, keep, (h.shape[0],) + (1,) * (h.ndim - 1))
+    return h * mask.astype(h.dtype) / jnp.asarray(keep, h.dtype)
+
+
 def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: int, n_head: int, mask: jax.Array):
-    """x: (B, res, res, C) -> same, one shifted-window attention block."""
+    """x: (B, res, res, C) -> attention BRANCH output (caller adds residual)."""
     B, _, _, C = x.shape
     hd = C // n_head
     h = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"])
@@ -169,15 +188,35 @@ def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: i
     )
     if shift:
         out = jnp.roll(out, (shift, shift), axis=(1, 2))
-    return x + out
+    return out
 
 
 _REL_INDEX_CACHE: dict = {}
 _MASK_CACHE: dict = {}
 
 
-def swin_forward_features(params: dict, x: jax.Array, *, spec: SwinSpec, compute_dtype=jnp.float32):
-    """(B, H, W, 3) -> (B, final_dim) pooled features."""
+def swin_forward_features(
+    params: dict,
+    x: jax.Array,
+    *,
+    spec: SwinSpec,
+    compute_dtype=jnp.float32,
+    train: bool = False,
+    rng: jax.Array | None = None,
+):
+    """(B, H, W, 3) -> (B, final_dim) pooled features.
+
+    ``train=True`` enables stochastic depth when ``spec.drop_path_rate > 0``
+    (requires ``rng``); eval mode and rate 0.0 are exactly the r2 behaviour.
+    """
+    use_dp = train and spec.drop_path_rate > 0.0
+    if use_dp and rng is None:
+        raise ValueError(
+            f"DROP_PATH_RATE={spec.drop_path_rate} in train mode requires an rng"
+        )
+    # torch.linspace(0, rate, sum(depths)) — reference cls_swin.py:533
+    dpr = np.linspace(0.0, spec.drop_path_rate, sum(spec.depths))
+    blk_idx = 0
     B = x.shape[0]
     p = spec.patch_size
     g = spec.img_size // p
@@ -198,13 +237,25 @@ def swin_forward_features(params: dict, x: jax.Array, *, spec: SwinSpec, compute
             key = (res, win, shift)
             if key not in _MASK_CACHE:
                 _MASK_CACHE[key] = jnp.asarray(_attn_mask(res, win, shift))
-            x = _window_attention(
+            attn_out = _window_attention(
                 bp, x, res=res, window=win, shift=shift, n_head=spec.num_heads[s], mask=_MASK_CACHE[key]
             )
+            gamma = bp.get("gamma")
+            if gamma is not None:
+                attn_out = attn_out * gamma.astype(attn_out.dtype)
+            p_blk = float(dpr[blk_idx]) if use_dp else 0.0
+            if p_blk > 0.0:
+                attn_out = _drop_path(attn_out, p_blk, jax.random.fold_in(rng, 2 * blk_idx))
+            x = x + attn_out
             h = layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"])
             h = gelu_exact(h @ bp["fc1"]["kernel"].astype(h.dtype) + bp["fc1"]["bias"].astype(h.dtype))
             h = h @ bp["fc2"]["kernel"].astype(h.dtype) + bp["fc2"]["bias"].astype(h.dtype)
+            if gamma is not None:
+                h = h * gamma.astype(h.dtype)
+            if p_blk > 0.0:
+                h = _drop_path(h, p_blk, jax.random.fold_in(rng, 2 * blk_idx + 1))
             x = x + h
+            blk_idx += 1
         if "downsample" in stage:
             # patch merging: 2x2 neighbourhood concat -> norm -> linear 4C->2C.
             # channel order matches official Swin's [x0,x1,x2,x3] =
@@ -221,8 +272,8 @@ def swin_forward_features(params: dict, x: jax.Array, *, spec: SwinSpec, compute
     return jnp.mean(x, axis=1)
 
 
-def swin_forward(params, x, *, spec: SwinSpec, compute_dtype=jnp.float32):
-    feats = swin_forward_features(params, x, spec=spec, compute_dtype=compute_dtype)
+def swin_forward(params, x, *, spec: SwinSpec, compute_dtype=jnp.float32, train=False, rng=None):
+    feats = swin_forward_features(params, x, spec=spec, compute_dtype=compute_dtype, train=train, rng=rng)
     if "head" in params:
         return feats @ params["head"]["kernel"].astype(feats.dtype) + params["head"]["bias"].astype(feats.dtype)
     return feats
@@ -251,6 +302,7 @@ def swin_state_dict_to_params(sd: dict) -> tuple:
         num_heads=tuple(heads),
         window_size=window,
         num_classes=sd["head.weight"].shape[0] if "head.weight" in sd else 0,
+        layer_scale="layers.0.blocks.0.gamma" in sd,
     )
 
     def lin(prefix, bias=True):
@@ -286,6 +338,10 @@ def swin_state_dict_to_params(sd: dict) -> tuple:
                     "fc2": lin(f"{pre}.mlp.fc2"),
                 }
             )
+            # layer-scale gamma if the checkpoint was trained with it
+            # (reference cls_swin.py:237-240)
+            if f"{pre}.gamma" in sd:
+                blocks[-1]["gamma"] = jnp.asarray(sd[f"{pre}.gamma"])
         stage = {"blocks": blocks}
         if f"layers.{s}.downsample.reduction.weight" in sd:
             stage["downsample"] = {

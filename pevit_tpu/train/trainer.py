@@ -222,8 +222,10 @@ def model_forward(
     path — (B, G*G, p*p*3) pre-patchified uint8 (core.clip.patchify_images),
     in which case normalisation folds into the patch-embedding GEMM.
 
-    ``forward_fn(params, x_float, train) -> feats`` overrides the CLIP visual
-    tower (auxiliary backbones via models.factory; MERGE_ENCODER_AND_HEAD_PROJ).
+    ``forward_fn(params, x_float, train, rng) -> feats`` overrides the CLIP
+    visual tower (auxiliary backbones via models.factory;
+    MERGE_ENCODER_AND_HEAD_PROJ).  ``rng`` feeds train-time stochasticity
+    (e.g. Swin drop-path) and is None at eval.
     """
     dt = static.dtype
     if images_u8.ndim == 3:
@@ -246,7 +248,7 @@ def model_forward(
     elif forward_fn is not None:
         x = images_u8.astype(dt) / jnp.asarray(255.0, dt)
         x = (x - preproc["mean"].astype(dt)) / preproc["std"].astype(dt)
-        feats = forward_fn(bundle["clip"], x, train)
+        feats = forward_fn(bundle["clip"], x, train, rng)
     else:
         x = images_u8.astype(dt) / jnp.asarray(255.0, dt)
         x = (x - preproc["mean"].astype(dt)) / preproc["std"].astype(dt)
@@ -499,7 +501,15 @@ class TrainTask:
         self.backbone = backbone  # models.factory.Backbone for non-CLIP towers
         if backbone is not None:
             clip_params = backbone.params
-            self._forward_fn = lambda p, x, train: backbone.forward_features(p, x)
+            if backbone.forward_features_train is not None:
+                # train-time stochasticity (Swin drop-path) needs the step rng
+                self._forward_fn = lambda p, x, train, rng=None: (
+                    backbone.forward_features_train(p, x, rng)
+                    if train
+                    else backbone.forward_features(p, x)
+                )
+            else:
+                self._forward_fn = lambda p, x, train, rng=None: backbone.forward_features(p, x)
         else:
             self._forward_fn = None
         self.clip_params = clip_params
