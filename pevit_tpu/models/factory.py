@@ -46,6 +46,9 @@ def _swin_spec_from_cfg(mspec, default_spec: _swin.SwinSpec) -> _swin.SwinSpec:
     """Consume the Swin architecture keys the reference reads from the model
     spec (cls_swin.py:690-704 top-level; clip_swin.py:175-194 under VISION)
     instead of silently ignoring them on random init."""
+    in_chans = int(mspec.get("IN_CHANS", 3))
+    if in_chans != 3:
+        raise ValueError(f"IN_CHANS={in_chans} unsupported (RGB only)")
     return dataclasses.replace(
         default_spec,
         patch_size=int(mspec.get("PATCH_SIZE", default_spec.patch_size)),
@@ -54,6 +57,10 @@ def _swin_spec_from_cfg(mspec, default_spec: _swin.SwinSpec) -> _swin.SwinSpec:
         num_heads=tuple(mspec.get("NUM_HEADS", default_spec.num_heads)),
         window_size=int(mspec.get("WINDOW_SIZE", default_spec.window_size)),
         mlp_ratio=float(mspec.get("MLP_RATIO", default_spec.mlp_ratio)),
+        drop_rate=float(mspec.get("DROP_RATE", default_spec.drop_rate)),
+        ape=bool(mspec.get("APE", default_spec.ape)),
+        patch_norm=bool(mspec.get("PATCH_NORM", default_spec.patch_norm)),
+        qkv_bias=bool(mspec.get("QKV_BIAS", default_spec.qkv_bias)),
     )
 
 
@@ -158,7 +165,7 @@ def get_model(config, feature_type: str = "image") -> Backbone:
             forward_features=lambda p, x: _swin.swin_forward_features(p, x, spec=spec),
             forward_features_train=(
                 (lambda p, x, rng: _swin.swin_forward_features(p, x, spec=spec, train=True, rng=rng))
-                if spec.drop_path_rate > 0.0
+                if (spec.drop_path_rate > 0.0 or spec.drop_rate > 0.0)
                 else None
             ),
         )
@@ -171,6 +178,13 @@ def get_model(config, feature_type: str = "image") -> Backbone:
         from ..core.clip import CLIPSpec, encode_text as core_encode_text, init_clip_params
 
         embed = config.MODEL.SPEC.get("EMBED_DIM", 512)
+        # the reference supports ONLY the clip tokenizer here (clip_swin.py:158)
+        tok_style = (config.MODEL.SPEC.get("TEXT", {}) or {}).get("TOKENIZER", "clip")
+        if tok_style != "clip":
+            raise ValueError(
+                f"clip_swin supports only TOKENIZER 'clip', got {tok_style!r} "
+                "(reference clip_swin.py:158 asserts the same)"
+            )
         cspec = CLIPSpec.from_config(config)
         if ckpt_file:
             from ..ckpt.torch_loader import read_torch_state_dict

@@ -40,6 +40,16 @@ class SwinSpec:
     # Layer-scale (reference cls_swin.py:237-240): learnable per-dim gamma
     # (init 1e-4) multiplying both branch outputs before DropPath/residual.
     layer_scale: bool = False
+    # Plain dropout rate (reference cls_swin.py:698 DROP_RATE): pos_drop
+    # after patch embed, proj_drop after attention out-proj, two drops in
+    # the MLP (cls_swin.py:33-43,168-171,530).
+    drop_rate: float = 0.0
+    # Learnable absolute position embedding (cls_swin.py:524-528 APE).
+    ape: bool = False
+    # LayerNorm after patch embedding (cls_swin.py:437-440 PATCH_NORM).
+    patch_norm: bool = True
+    # Bias on the qkv projection (cls_swin.py:125 QKV_BIAS).
+    qkv_bias: bool = True
 
     @property
     def num_stages(self) -> int:
@@ -105,9 +115,16 @@ def init_swin_params(rng: jax.Array, spec: SwinSpec) -> dict:
             "kernel": _trunc(next(keys), (p * p * 3, spec.embed_dim)),
             "bias": jnp.zeros((spec.embed_dim,), jnp.float32),
         },
-        "patch_norm": {"scale": jnp.ones((spec.embed_dim,)), "bias": jnp.zeros((spec.embed_dim,))},
         "stages": [],
     }
+    if spec.patch_norm:
+        params["patch_norm"] = {
+            "scale": jnp.ones((spec.embed_dim,)),
+            "bias": jnp.zeros((spec.embed_dim,)),
+        }
+    if spec.ape:
+        g = spec.img_size // p
+        params["absolute_pos_embed"] = _trunc(next(keys), (1, g * g, spec.embed_dim))
     w2 = (2 * spec.window_size - 1) ** 2
     for s in range(spec.num_stages):
         dim = spec.stage_dim(s)
@@ -116,7 +133,7 @@ def init_swin_params(rng: jax.Array, spec: SwinSpec) -> dict:
             blocks.append(
                 {
                     "norm1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
-                    "qkv": _linear_init(next(keys), dim, 3 * dim),
+                    "qkv": _linear_init(next(keys), dim, 3 * dim, bias=spec.qkv_bias),
                     "proj": _linear_init(next(keys), dim, dim),
                     "rel_bias": _trunc(next(keys), (w2, spec.num_heads[s])),
                     "norm2": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
@@ -154,7 +171,17 @@ def _drop_path(h: jax.Array, p: float, rng: jax.Array) -> jax.Array:
     return h * mask.astype(h.dtype) / jnp.asarray(keep, h.dtype)
 
 
-def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: int, n_head: int, mask: jax.Array):
+def _dropout(h: jax.Array, p: float, rng: jax.Array) -> jax.Array:
+    """Elementwise inverted dropout (reference DROP_RATE consumers)."""
+    if p <= 0.0:
+        return h
+    keep = 1.0 - p
+    mask = jax.random.bernoulli(rng, keep, h.shape)
+    return h * mask.astype(h.dtype) / jnp.asarray(keep, h.dtype)
+
+
+def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: int, n_head: int, mask: jax.Array,
+                      drop_rate: float = 0.0, drop_rng: jax.Array | None = None):
     """x: (B, res, res, C) -> attention BRANCH output (caller adds residual)."""
     B, _, _, C = x.shape
     hd = C // n_head
@@ -168,7 +195,9 @@ def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: i
         .transpose(0, 1, 3, 2, 4, 5)
         .reshape(B * nw * nw, window * window, C)
     )
-    qkv = h @ bp["qkv"]["kernel"].astype(h.dtype) + bp["qkv"]["bias"].astype(h.dtype)
+    qkv = h @ bp["qkv"]["kernel"].astype(h.dtype)
+    if "bias" in bp["qkv"]:
+        qkv = qkv + bp["qkv"]["bias"].astype(h.dtype)
     q, k, v = jnp.split(qkv.reshape(-1, window * window, 3, n_head, hd).transpose(2, 0, 3, 1, 4), 3, axis=0)
     q, k, v = q[0], k[0], v[0]  # (B*nW, H, n, hd)
     q = q * (hd ** -0.5)
@@ -181,6 +210,8 @@ def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: i
     attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(-1, window * window, C)
     out = out @ bp["proj"]["kernel"].astype(out.dtype) + bp["proj"]["bias"].astype(out.dtype)
+    if drop_rate > 0.0:
+        out = _dropout(out, drop_rate, drop_rng)  # proj_drop (cls_swin.py:170)
     out = (
         out.reshape(B, nw, nw, window, window, C)
         .transpose(0, 1, 3, 2, 4, 5)
@@ -210,10 +241,21 @@ def swin_forward_features(
     (requires ``rng``); eval mode and rate 0.0 are exactly the r2 behaviour.
     """
     use_dp = train and spec.drop_path_rate > 0.0
-    if use_dp and rng is None:
+    use_do = train and spec.drop_rate > 0.0
+    if (use_dp or use_do) and rng is None:
         raise ValueError(
-            f"DROP_PATH_RATE={spec.drop_path_rate} in train mode requires an rng"
+            f"DROP_PATH_RATE={spec.drop_path_rate}/DROP_RATE={spec.drop_rate} "
+            "in train mode requires an rng"
         )
+    do_rate = spec.drop_rate if use_do else 0.0
+    # independent rng streams for drop-path vs dropout
+    rng_do = jax.random.fold_in(rng, 0x5EED) if use_do else None
+    do_ctr = 0
+
+    def next_do_rng():
+        nonlocal do_ctr
+        do_ctr += 1
+        return jax.random.fold_in(rng_do, do_ctr)
     # torch.linspace(0, rate, sum(depths)) — reference cls_swin.py:533
     dpr = np.linspace(0.0, spec.drop_path_rate, sum(spec.depths))
     blk_idx = 0
@@ -223,7 +265,12 @@ def swin_forward_features(
     x = x.astype(compute_dtype)
     x = x.reshape(B, g, p, g, p, 3).transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, p * p * 3)
     x = x @ params["patch_embed"]["kernel"].astype(compute_dtype) + params["patch_embed"]["bias"].astype(compute_dtype)
-    x = layer_norm(x, params["patch_norm"]["scale"], params["patch_norm"]["bias"])
+    if "patch_norm" in params:
+        x = layer_norm(x, params["patch_norm"]["scale"], params["patch_norm"]["bias"])
+    if "absolute_pos_embed" in params:
+        x = x + params["absolute_pos_embed"].astype(x.dtype)
+    if do_rate > 0.0:
+        x = _dropout(x, do_rate, next_do_rng())  # pos_drop (cls_swin.py:530)
     x = x.reshape(B, g, g, spec.embed_dim)
 
     win = spec.window_size
@@ -238,7 +285,8 @@ def swin_forward_features(
             if key not in _MASK_CACHE:
                 _MASK_CACHE[key] = jnp.asarray(_attn_mask(res, win, shift))
             attn_out = _window_attention(
-                bp, x, res=res, window=win, shift=shift, n_head=spec.num_heads[s], mask=_MASK_CACHE[key]
+                bp, x, res=res, window=win, shift=shift, n_head=spec.num_heads[s], mask=_MASK_CACHE[key],
+                drop_rate=do_rate, drop_rng=next_do_rng() if do_rate > 0.0 else None,
             )
             gamma = bp.get("gamma")
             if gamma is not None:
@@ -249,7 +297,11 @@ def swin_forward_features(
             x = x + attn_out
             h = layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"])
             h = gelu_exact(h @ bp["fc1"]["kernel"].astype(h.dtype) + bp["fc1"]["bias"].astype(h.dtype))
+            if do_rate > 0.0:
+                h = _dropout(h, do_rate, next_do_rng())  # Mlp drop 1 (cls_swin.py:39)
             h = h @ bp["fc2"]["kernel"].astype(h.dtype) + bp["fc2"]["bias"].astype(h.dtype)
+            if do_rate > 0.0:
+                h = _dropout(h, do_rate, next_do_rng())  # Mlp drop 2 (cls_swin.py:42)
             if gamma is not None:
                 h = h * gamma.astype(h.dtype)
             if p_blk > 0.0:
@@ -303,6 +355,9 @@ def swin_state_dict_to_params(sd: dict) -> tuple:
         window_size=window,
         num_classes=sd["head.weight"].shape[0] if "head.weight" in sd else 0,
         layer_scale="layers.0.blocks.0.gamma" in sd,
+        ape="absolute_pos_embed" in sd,
+        patch_norm="patch_embed.norm.weight" in sd,
+        qkv_bias="layers.0.blocks.0.attn.qkv.bias" in sd,
     )
 
     def lin(prefix, bias=True):
@@ -319,10 +374,14 @@ def swin_state_dict_to_params(sd: dict) -> tuple:
             "kernel": jnp.asarray(conv.transpose(2, 3, 1, 0).reshape(p * p * 3, embed_dim)),
             "bias": jnp.asarray(sd["patch_embed.proj.bias"]),
         },
-        "patch_norm": ln("patch_embed.norm"),
         "stages": [],
         "norm": ln("norm"),
     }
+    if spec.patch_norm:
+        params["patch_norm"] = ln("patch_embed.norm")
+    if spec.ape:
+        ape_w = sd["absolute_pos_embed"]  # (1, L, C)
+        params["absolute_pos_embed"] = jnp.asarray(ape_w.reshape(1, -1, embed_dim))
     for s in range(n_stages):
         blocks = []
         for b in range(depths[s]):

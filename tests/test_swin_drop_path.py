@@ -154,3 +154,67 @@ def test_factory_consumes_drop_path_rate():
     cfg.MODEL.SPEC.DROP_PATH_RATE = 0.0
     bb0 = get_model(cfg)
     assert bb0.forward_features_train is None
+
+
+def test_drop_rate_ape_patch_norm_qkv_bias_consumed():
+    """The other reference-consumed Swin SPEC knobs (cls_swin.py:694-703):
+    DROP_RATE, APE, PATCH_NORM, QKV_BIAS are all live, not silently accepted."""
+    spec = dataclasses.replace(TINY, drop_rate=0.5, ape=True,
+                               patch_norm=False, qkv_bias=False)
+    params = init_swin_params(jax.random.PRNGKey(0), spec)
+    assert "patch_norm" not in params
+    assert params["absolute_pos_embed"].shape == (1, 14 * 14, 16)
+    assert "bias" not in params["stages"][0]["blocks"][0]["qkv"]
+
+    x = _x(batch=8, identical=True)
+    ev = np.asarray(swin_forward_features(params, x, spec=spec))
+    assert np.allclose(ev, ev[:1], atol=1e-6)  # eval: no dropout
+    tr = np.asarray(swin_forward_features(params, x, spec=spec, train=True,
+                                          rng=jax.random.PRNGKey(5)))
+    assert not np.allclose(tr, ev, atol=1e-6)  # dropout active in train
+    tr2 = np.asarray(swin_forward_features(params, x, spec=spec, train=True,
+                                           rng=jax.random.PRNGKey(5)))
+    np.testing.assert_array_equal(tr, tr2)
+
+    # APE actually shifts the output
+    p2 = jax.tree.map(lambda v: v, params)
+    # non-constant perturbation (LayerNorm is shift-invariant, so +const
+    # would be invisible)
+    p2["absolute_pos_embed"] = p2["absolute_pos_embed"] + jax.random.normal(
+        jax.random.PRNGKey(9), p2["absolute_pos_embed"].shape
+    )
+    ev2 = np.asarray(swin_forward_features(p2, x, spec=spec))
+    assert not np.allclose(ev, ev2, atol=1e-6)
+
+
+def test_ckpt_loader_detects_ape_and_qkv_bias():
+    from tests.test_swin_ckpt import synthetic_official_sd
+
+    sd = synthetic_official_sd()
+    sd["absolute_pos_embed"] = np.random.default_rng(1).standard_normal(
+        (1, (224 // 4) ** 2, 32)).astype(np.float32) * 0.02
+    for k in list(sd):
+        if k.endswith("attn.qkv.bias"):
+            del sd[k]
+    del sd["patch_embed.norm.weight"], sd["patch_embed.norm.bias"]
+    params, spec = swin_state_dict_to_params(sd)
+    assert spec.ape and not spec.patch_norm and not spec.qkv_bias
+    assert "absolute_pos_embed" in params and "patch_norm" not in params
+    assert "bias" not in params["stages"][0]["blocks"][0]["qkv"]
+
+
+def test_factory_rejects_bad_tokenizer_and_in_chans():
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.models import get_model
+
+    cfg = get_default_config()
+    cfg.MODEL.NAME = "clip_swin_tiny"
+    cfg.MODEL.SPEC.TEXT = {"TOKENIZER": "bert"}
+    with pytest.raises(ValueError, match="TOKENIZER"):
+        get_model(cfg)
+
+    cfg2 = get_default_config()
+    cfg2.MODEL.NAME = "cls_swin_tiny"
+    cfg2.MODEL.SPEC.IN_CHANS = 4
+    with pytest.raises(ValueError, match="IN_CHANS"):
+        get_model(cfg2)
