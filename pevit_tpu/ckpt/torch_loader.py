@@ -34,6 +34,7 @@ from ..core.resnet import RN_SPECS, ResNetSpec
 MODEL_CKPT_NAMES = {
     "ViT-B/32": "ViT-B-32.pt",
     "ViT-B/16": "ViT-B-16.pt",
+    "ViT-L/14": "ViT-L-14.pt",
     "RN50": "RN50.pt",
     "RN101": "RN101.pt",
     "RN50x4": "RN50x4.pt",

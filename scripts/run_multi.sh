@@ -61,7 +61,17 @@ elif [ "$mode" = "finetune" ]; then
     python -m pevit_tpu.commands.finetune --ds resources/datasets/$dataset.yaml --model resources/model/$model_cfg.yaml --no-tuning $disable_hyperparameter_tuning --lr $learning_rate --l2 $l2_weight_decay MODEL.CLIP_FP32 $use_fp32 DATASET.NUM_SAMPLES_PER_CLASS $num_shots DATASET.ROOT $output_dir/datasets OUTPUT_DIR $output_dir/$model_cfg/log DATASET.RANDOM_SEED_SAMPLING $random_seed TRAIN.INIT_HEAD_WITH_TEXT_ENCODER $init_head_with_text_encoder TRAIN.MERGE_ENCODER_AND_HEAD_PROJ $merge_encoder_and_proj KNOWLEDGE.WORDNET.USE_HIERARCHY $use_wordnet_hierachy KNOWLEDGE.WORDNET.USE_DEFINITION $use_wordnet_definition KNOWLEDGE.WIKITIONARY.USE_DEFINITION $use_wiktionary_definition KNOWLEDGE.GPT3.USE_GPT3 $use_gpt3 KNOWLEDGE.AGGREGATION.NUM_GPT3_ITEMS $use_gpt3_count TEST.MODEL_FILE "$model_ckpt" $EXTRA_OPTS
 elif [ "$mode" = "zeroshot" ]; then
     python -m pevit_tpu.commands.zeroshot --ds resources/datasets/$dataset.yaml --model resources/model/$model_cfg.yaml MODEL.CLIP_FP32 $use_fp32 DATASET.ROOT $output_dir/datasets OUTPUT_DIR $output_dir/$model_cfg/log KNOWLEDGE.WORDNET.USE_HIERARCHY $use_wordnet_hierachy KNOWLEDGE.WORDNET.USE_DEFINITION $use_wordnet_definition KNOWLEDGE.WIKITIONARY.USE_DEFINITION $use_wiktionary_definition KNOWLEDGE.GPT3.USE_GPT3 $use_gpt3 KNOWLEDGE.AGGREGATION.NUM_GPT3_ITEMS $use_gpt3_count TEST.MODEL_FILE "$model_ckpt" $EXTRA_OPTS
+elif [ "$mode" = "kadaptation" ] || [ "$mode" = "lora" ] || [ "$mode" = "adapter" ] || [ "$mode" = "compacter" ]; then
+    # PEFT batch-launch modes (beyond the reference's run_multi surface):
+    # same command grammar as scripts/{kadapter,lora,adapter,compacter}_clip.sh
+    case "$mode" in
+        kadaptation) cmd=kronecker_adaptation_clip ;;
+        lora)        cmd=lora_clip ;;
+        adapter)     cmd=adapter_clip ;;
+        compacter)   cmd=compacter_clip ;;
+    esac
+    python -m pevit_tpu.commands.$cmd --ds resources/datasets/$dataset.yaml --model resources/model/$model_cfg.yaml --no-tuning $disable_hyperparameter_tuning --lr $learning_rate --l2 $l2_weight_decay MODEL.CLIP_FP32 $use_fp32 DATASET.NUM_SAMPLES_PER_CLASS $num_shots DATASET.ROOT $output_dir/datasets OUTPUT_DIR $output_dir/$model_cfg/log DATASET.RANDOM_SEED_SAMPLING $random_seed TRAIN.INIT_HEAD_WITH_TEXT_ENCODER $init_head_with_text_encoder TRAIN.MERGE_ENCODER_AND_HEAD_PROJ $merge_encoder_and_proj KNOWLEDGE.WORDNET.USE_HIERARCHY $use_wordnet_hierachy KNOWLEDGE.WORDNET.USE_DEFINITION $use_wordnet_definition KNOWLEDGE.WIKITIONARY.USE_DEFINITION $use_wiktionary_definition KNOWLEDGE.GPT3.USE_GPT3 $use_gpt3 KNOWLEDGE.AGGREGATION.NUM_GPT3_ITEMS $use_gpt3_count TEST.MODEL_FILE "$model_ckpt" $EXTRA_OPTS
 else
-    echo "Unknown mode! Please check and set mode to one of {linear_probe, finetune, zeroshot}."
+    echo "Unknown mode! Please check and set mode to one of {linear_probe, finetune, zeroshot, kadaptation, lora, adapter, compacter}."
     exit 1
 fi
