@@ -39,3 +39,19 @@ def test_serve_bench_arms_agree_and_report(tmp_path):
     for arm, rates in results.items():
         assert len(rates) == 2, arm
         assert all(r > 0 for r in rates), (arm, rates)
+
+
+@pytest.mark.slow
+def test_serve_bench_daemon_arm(tmp_path):
+    """--clients adds the end-to-end HTTP daemon arm (MicroBatcher over
+    real sockets) and its logits agree with the direct arms."""
+    ds, model = _write_cfgs(tmp_path)
+    tool = _load_tool()
+    results = tool.main([
+        "--model", model, "--ds", ds, "--batch", "8", "--images", "32",
+        "--reps", "1", "--depths", "2", "--clients", "4", "--client-batch", "4",
+        "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+        "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False",
+    ])
+    assert set(results) == {"naive", "pipe2", "daemon4"}
+    assert all(r > 0 for r in results["daemon4"])

@@ -7,7 +7,10 @@ exported one) under three drivers and prints one JSON line per arm:
   * ``naive``  — transfer -> compute -> fetch, strictly serial per batch;
   * ``pipeN``  — :class:`pevit_tpu.serve.InferencePipeline` with N batches
     in flight (double/triple buffering: the device computes batch i while
-    the host pads + ships batch i+1).
+    the host pads + ships batch i+1);
+  * ``daemonN`` (``--clients N``) — the FULL HTTP daemon under N concurrent
+    clients posting ``--client-batch``-image requests: measures the
+    MicroBatcher's cross-request coalescing end-to-end over real sockets.
 
 The reference has no serving runtime at all (SURVEY.md §5.4); this tool is
 the measurement harness for the beyond-reference serving stack and the
@@ -60,6 +63,12 @@ def main(argv=None):
     ap.add_argument("--images", type=int, default=8192)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--depths", default="2,3", help="pipeline depths to measure")
+    ap.add_argument("--clients", type=int, default=0,
+                    help="add a daemon arm with this many concurrent HTTP clients")
+    ap.add_argument("--client-batch", type=int, default=16,
+                    help="images per HTTP request in the daemon arm")
+    ap.add_argument("--window-ms", type=float, default=2.0,
+                    help="daemon micro-batching window")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("opts", nargs=argparse.REMAINDER, help="KEY VALUE config overrides")
     args = ap.parse_args(argv)
@@ -103,9 +112,60 @@ def main(argv=None):
                                  min_bucket=args.batch, depth=depth)
         return pipe(stream)
 
+    def run_daemon():
+        """Full HTTP daemon under --clients concurrent posters."""
+        import importlib.util
+        import io
+        import threading
+        import urllib.request
+
+        spec = importlib.util.spec_from_file_location(
+            "serve_daemon", REPO / "tools" / "serve_daemon.py")
+        daemon = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(daemon)
+        srv = daemon.make_server(call, image_size, port=0, max_batch=args.batch,
+                                 min_bucket=8, depth=2, window_ms=args.window_ms)
+        st = threading.Thread(target=srv.serve_forever, daemon=True)
+        st.start()
+        url = f"http://127.0.0.1:{srv.server_address[1]}/infer"
+        out = np.empty((n, num_classes), np.float32)
+        errors = []
+
+        def client(cid):
+            try:
+                for off in range(cid * per_client, (cid + 1) * per_client,
+                                 args.client_batch):
+                    chunk = stream[off : off + args.client_batch]
+                    buf = io.BytesIO()
+                    np.save(buf, chunk)
+                    req = urllib.request.Request(url, data=buf.getvalue())
+                    with urllib.request.urlopen(req, timeout=600) as r:
+                        out[off : off + chunk.shape[0]] = np.load(io.BytesIO(r.read()))
+            except Exception as e:  # surface in the main thread
+                errors.append(e)
+
+        per_client = n // args.clients
+        threads = [threading.Thread(target=client, args=(c,)) for c in range(args.clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        srv.shutdown()
+        srv.batcher.close()
+        if errors:
+            raise errors[0]
+        groups = srv.batcher.stats["groups"]
+        reqs = srv.batcher.stats["requests"]
+        print(f"#   daemon: {reqs} requests coalesced into {groups} device groups",
+              flush=True)
+        return out[: per_client * args.clients]
+
+    num_classes = int(np.asarray(w).shape[-1])
     arms = [("naive", run_naive)]
     arms += [(f"pipe{d}", (lambda d=d: run_pipe(d)))
              for d in (int(x) for x in args.depths.split(",") if x)]
+    if args.clients:
+        arms.append((f"daemon{args.clients}", run_daemon))
     results = {name: [] for name, _ in arms}
     ref = None
     for rep in range(args.reps):  # interleaved reps: relay drift hits all arms
@@ -113,12 +173,14 @@ def main(argv=None):
             t0 = time.time()
             out = fn()
             dt = time.time() - t0
-            results[name].append(n / dt)
+            results[name].append(len(out) / dt)
             if ref is None:
                 ref = out
-            elif not np.allclose(out, ref, atol=1e-2):
-                raise SystemExit(f"{name} rep{rep}: logits mismatch vs first arm")
-            print(f"# {name} rep{rep}: {n / dt:.0f} img/s ({dt:.1f}s)", flush=True)
+            else:
+                m = min(len(out), len(ref))  # daemon arm trims to clients*per_client
+                if not np.allclose(out[:m], ref[:m], atol=1e-2):
+                    raise SystemExit(f"{name} rep{rep}: logits mismatch vs first arm")
+            print(f"# {name} rep{rep}: {len(out) / dt:.0f} img/s ({dt:.1f}s)", flush=True)
 
     for name, vals in results.items():
         print(json.dumps({

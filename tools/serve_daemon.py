@@ -11,11 +11,13 @@ an artifact (or export fresh from a checkpoint), wrap it in
   GET  /stats    cumulative {"images", "batches", "seconds", "throughput"}
 
 The .npy wire format keeps the protocol dependency-free on both ends
-(`np.save`/`np.load` over HTTP; curl works too).  Requests are serialized
-through the pipeline under a lock — the pipeline itself keeps the device
-fed (bucketed batching + ``depth`` batches in flight) within each request
-stream; cross-request micro-batching is a queueing layer a fleet
-deployment would add in front.
+(`np.save`/`np.load` over HTTP; curl works too).  Concurrent requests are
+coalesced by :class:`pevit_tpu.serve.MicroBatcher`: requests arriving
+within ``--window-ms`` of each other (or until a full device batch is
+pending) share ONE pipeline submission, so 8 concurrent 1-image clients
+cost one 8-image batch instead of 8 serialized dispatches; within each
+submission the pipeline keeps the device fed (bucketed batching +
+``depth`` batches in flight).
 
     # serve an exported artifact
     python tools/serve_daemon.py --artifact cifar10.stablehlo --port 8000
@@ -38,7 +40,6 @@ import argparse
 import io
 import json
 import sys
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
@@ -52,14 +53,15 @@ MAX_BODY = 1 << 30  # 1 GiB request cap
 
 def make_server(call_fn, image_size: int, *, host: str = "127.0.0.1",
                 port: int = 0, max_batch: int = 256, min_bucket: int = 8,
-                depth: int = 2, place_fn=None) -> ThreadingHTTPServer:
+                depth: int = 2, place_fn=None,
+                window_ms: float = 2.0) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server around ``call_fn``."""
-    from pevit_tpu.serve import InferencePipeline
+    from pevit_tpu.serve import InferencePipeline, MicroBatcher
 
     pipe = InferencePipeline(call_fn, max_batch=max_batch,
                              min_bucket=min_bucket, depth=depth,
                              place_fn=place_fn)
-    lock = threading.Lock()
+    batcher = MicroBatcher(pipe, window_ms=window_ms)
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -78,7 +80,8 @@ def make_server(call_fn, image_size: int, *, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 self._json(200, {"status": "ok", "image_size": image_size})
             elif self.path == "/stats":
-                self._json(200, {**pipe.stats, "throughput": pipe.throughput})
+                self._json(200, {**pipe.stats, **batcher.stats,
+                                 "throughput": pipe.throughput})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
@@ -101,8 +104,7 @@ def make_server(call_fn, image_size: int, *, host: str = "127.0.0.1",
                 self._json(400, {"error": str(e)})
                 return
             try:
-                with lock:
-                    logits = pipe(imgs)
+                logits = batcher.infer(imgs)
                 buf = io.BytesIO()
                 np.save(buf, logits)
                 self._reply(200, buf.getvalue(), "application/octet-stream")
@@ -114,6 +116,7 @@ def make_server(call_fn, image_size: int, *, host: str = "127.0.0.1",
 
     srv = ThreadingHTTPServer((host, port), Handler)
     srv.pipeline = pipe  # for /stats introspection in tests
+    srv.batcher = batcher
     return srv
 
 
@@ -133,6 +136,8 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--min-bucket", type=int, default=8)
     ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--window-ms", type=float, default=2.0,
+                    help="cross-request micro-batching window (0 disables waiting)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("opts", nargs=argparse.REMAINDER, help="KEY VALUE config overrides")
     args = ap.parse_args(argv)
@@ -158,7 +163,7 @@ def main(argv=None):
     )
     srv = make_server(call, image_size, host=args.host, port=args.port,
                       max_batch=args.max_batch, min_bucket=args.min_bucket,
-                      depth=args.depth)
+                      depth=args.depth, window_ms=args.window_ms)
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"(image_size={image_size}, max_batch={args.max_batch}, "
           f"depth={args.depth})", flush=True)
@@ -166,6 +171,8 @@ def main(argv=None):
         srv.serve_forever()
     except KeyboardInterrupt:
         srv.shutdown()
+    finally:
+        srv.batcher.close()
 
 
 if __name__ == "__main__":
