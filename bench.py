@@ -9,11 +9,18 @@ Prints ONE JSON line:
 ``baseline_basis`` in the output): the reference publishes no throughput
 numbers (SURVEY.md §6), so the constant below is an engineering estimate of
 the reference's torch fp32 KAdaptation train-step rate on its published
-hardware (NVIDIA A6000, CUDA 11.4) — ViT-B/32 fwd+bwd ~13 GFLOPs/img plus
-eager-mode kron/dropout overhead of the custom attention
+hardware (NVIDIA A6000, CUDA 11.4) — the audited B/32 train step is
+~21.8 GFLOP/img (fwd ~8.9; exact jaxpr 2*MAC ledger, scripts/flops_audit.py)
+plus eager-mode kron/dropout overhead of the custom attention
 (model.py:563-584,786-817) puts it in the 600-900 img/s band; we use 800.
 ``--measure-torch-cpu`` instead times the reference's actual eager module on
 this host's CPU (slow; for calibration, not the driver run).
+
+``gflop_per_img`` / ``mfu`` come from the SAME exact ledger traced on the
+measured program (pevit_tpu/utils/flops.py) against the chip's public peak
+bf16 FLOP/s — the r4 reconciliation of the r3 roofline's contradictory
+numbers (XLA cost_analysis under-reports matmul FLOPs ~10x on this
+backend; see ARCHITECTURE.md perf notes).
 
 Measures the cached whole-epoch jit (train step only, eval excluded) on
 synthetic data — throughput is weight-independent.
@@ -103,6 +110,17 @@ def _measure(args, model: str) -> float:
     lr_table = jnp.full((args.epochs,), 0.01, jnp.float32)
     wd = jnp.float32(1e-4)
 
+    # exact per-image FLOPs of THIS training step (trace only, no compile):
+    # the MFU numerator (VERDICT r4 ledger reconciliation)
+    from pevit_tpu.train.streaming import build_step_fn
+    from pevit_tpu.utils.flops import step_flops
+
+    step = build_step_fn(static, task.preproc)
+    gflop_per_img = step_flops(
+        step, frozen, state, images[:batch], labels[:batch],
+        jnp.ones((batch,), jnp.float32), jnp.float32(0.01), wd,
+    ) / batch / 1e9
+
     # warm-up / compile
     state = fit(frozen, images, labels, state, lr_table, wd)
     float(jax.tree.leaves(state[0])[0].ravel()[0])
@@ -112,7 +130,18 @@ def _measure(args, model: str) -> float:
     # force a REAL sync on this relay backend: fetch a value to host
     float(jax.tree.leaves(state[0])[0].ravel()[0])
     dt = time.perf_counter() - t0
-    return args.epochs * n / dt, batch
+    return args.epochs * n / dt, batch, gflop_per_img
+
+
+def _mfu(rate: float, gflop_per_img: float) -> float:
+    import jax
+
+    from pevit_tpu.utils.flops import chip_peaks
+
+    _, peak_tflops = chip_peaks(jax.devices()[0].device_kind)
+    if not peak_tflops:
+        return 0.0
+    return rate * gflop_per_img / 1e3 / peak_tflops
 
 
 def _measure_torch_cpu(args) -> None:
@@ -185,7 +214,7 @@ def _main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     primary = args.model if args.model in ("b16", "l14") else "b32"
-    rate, batch = _measure(args, primary)
+    rate, batch, gfi = _measure(args, primary)
     model_name = {"b16": "ViT-B/16", "l14": "ViT-L/14"}.get(primary, "ViT-B/32")
     out = {
         "metric": f"{args.method} {model_name} train throughput (batch {batch}, {args.dtype})",
@@ -193,11 +222,24 @@ def _main():
         "unit": "images/sec/chip",
         "vs_baseline": round(rate / A6000_BASELINE_IMGS_PER_SEC[primary], 3),
         "baseline_basis": BASELINE_BASIS,
+        "gflop_per_img": round(gfi, 2),
+        "mfu": round(_mfu(rate, gfi), 3),
     }
     if args.model == "both":
-        rate16, _ = _measure(args, "b16")
+        rate16, _, gfi16 = _measure(args, "b16")
         out["b16_value"] = round(rate16, 1)
         out["b16_vs_baseline"] = round(rate16 / A6000_BASELINE_IMGS_PER_SEC["b16"], 3)
+        out["b16_gflop_per_img"] = round(gfi16, 2)
+        out["b16_mfu"] = round(_mfu(rate16, gfi16), 3)
+        try:  # L/14 rides the default line too; never sink the bench on it
+            rate14, batch14, gfi14 = _measure(args, "l14")
+            out["l14_value"] = round(rate14, 1)
+            out["l14_batch"] = batch14
+            out["l14_vs_baseline"] = round(rate14 / A6000_BASELINE_IMGS_PER_SEC["l14"], 3)
+            out["l14_gflop_per_img"] = round(gfi14, 2)
+            out["l14_mfu"] = round(_mfu(rate14, gfi14), 3)
+        except Exception as e:
+            print(f"l14 measurement failed ({type(e).__name__}: {e})", file=sys.stderr)
     print(json.dumps(out))
 
 

@@ -1,23 +1,27 @@
 #!/usr/bin/env python
-"""HBM roofline bound for the training program (VERDICT r2 'prove the ceiling').
+"""Roofline + MFU for the training program (r2 'prove the ceiling',
+r4-reconciled FLOP ledger).
 
-The r2 profile work concluded the B/32 fit program is HBM-bound on
-mandatory stash/LN traffic (ARCHITECTURE.md perf notes) — this script
-QUANTIFIES that claim: it compiles the exact bench fit program, takes
-XLA's own post-optimization cost analysis (``compiled.cost_analysis()``:
-``bytes accessed`` is summed over the optimized/fused HLO, i.e. a direct
-estimate of HBM traffic; ``flops`` likewise), measures wall-clock the same
-way bench.py does, and reports
+Compiles the exact bench fit program, measures wall-clock the same way
+bench.py does, and reports
 
-    achieved_bytes_per_s = bytes_accessed_per_run / measured_time
-    roofline_fraction    = achieved_bytes_per_s / chip_HBM_bandwidth
-    mfu                  = achieved_flops_per_s / chip_peak_flops
+    mfu = exact_matmul_flops_per_s / chip_peak_bf16_flops
 
-A roofline_fraction near 1 proves the program runs at the memory wall —
-further kernel work can only help by REMOVING traffic (fusing stashes),
-not by scheduling the existing traffic better.
+where the FLOP numerator is the jaxpr 2*MAC ledger
+(pevit_tpu/utils/flops.py) — NOT XLA ``cost_analysis()['flops']``, which
+under-reports by the trip count of any inner loop (the r3 note's
+"single-digit MFU" came from the rolled 12-layer scan body counted once;
+on the unrolled default program cost_analysis agrees with the exact
+ledger within 2%).
 
-    timeout 580 python scripts/roofline.py [--model b32] [--batch 128]
+Bytes caveat (r4): ``cost_analysis()['bytes accessed']`` sums LOGICAL
+operand accesses over the optimized HLO, counting VMEM-resident reuse —
+on the unrolled program it exceeds physical HBM bandwidth (fraction > 1),
+so it is an upper bound on HBM traffic, not a measurement.  It is still
+reported (``logical_bytes_vs_hbm_roofline``) because fraction << 1 would
+prove compute-boundness; fraction >= 1 is uninformative.
+
+    timeout 580 python scripts/roofline.py [--model b32|b16|l14] [--batch N]
 """
 
 from __future__ import annotations
@@ -30,30 +34,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-# (HBM GB/s, peak bf16 TFLOP/s) by device_kind substring; public TPU specs
-CHIP_SPECS = {
-    "v6e": (1640.0, 918.0),
-    "v6": (1640.0, 918.0),
-    "v5p": (2765.0, 459.0),
-    "v5e": (819.0, 197.0),
-    "v5 lite": (819.0, 197.0),
-    "v4": (1228.0, 275.0),
-    "v3": (900.0, 123.0),
-    "v2": (700.0, 46.0),
-}
-
-
-def chip_peaks(kind: str):
-    k = kind.lower()
-    for sub, peaks in CHIP_SPECS.items():
-        if sub in k:
-            return peaks
-    return None, None
+from pevit_tpu.utils.flops import CHIP_SPECS, chip_peaks  # noqa: E402,F401
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="b32", choices=["b32", "b16"])
+    ap.add_argument("--model", default="b32", choices=["b32", "b16", "l14"])
     ap.add_argument("--batch", type=int, default=0, help="0 = operating point (b32:128, b16:16)")
     ap.add_argument("--n-train", type=int, default=1024)
     ap.add_argument("--epochs", type=int, default=8)
@@ -75,7 +61,7 @@ def main():
     from pevit_tpu.train.optim import make_optimizer
     from pevit_tpu.train.trainer import build_fit_fn
 
-    batch = args.batch or {"b32": 128, "b16": 16}[args.model]
+    batch = args.batch or {"b32": 128, "b16": 16, "l14": 8}[args.model]
     cfg = get_default_config()
     cfg.DATASET.NUM_CLASSES = 100
     cfg.TRAIN.BATCH_SIZE_PER_GPU = batch
@@ -84,7 +70,7 @@ def main():
     cfg.TPU.FAST_LN = args.fast_ln
     cfg.TPU.USE_PALLAS_ATTENTION = False
 
-    spec = CLIPSpec.vit_b16() if args.model == "b16" else CLIPSpec.vit_b32()
+    spec = {"b16": CLIPSpec.vit_b16, "l14": CLIPSpec.vit_l14}.get(args.model, CLIPSpec.vit_b32)()
     clip_params = init_clip_params(jax.random.PRNGKey(0), spec)
     static = TaskStatic.from_config(cfg, spec, PeftConfig(method=args.method))
     task = TrainTask(cfg, static, clip_params)
@@ -109,7 +95,14 @@ def main():
     # step fn: identical math, no loops) and scale by steps/run; the
     # per-dispatch dataset entry copy is excluded (measured separately in
     # ARCHITECTURE.md — ~6% of run time at this shape).
+    #
+    # FLOPs come from the exact jaxpr 2*MAC ledger, NOT cost_analysis:
+    # the r4 audit (scripts/flops_audit.py) showed XLA's TPU 'flops'
+    # under-reports matmul work ~10x (261 vs 2786 GFLOP for the B/32
+    # batch-128 step) — it is a post-fusion kernel statistic, not a FLOP
+    # count.  'bytes accessed' is still the best available HBM estimate.
     from pevit_tpu.train.streaming import build_step_fn
+    from pevit_tpu.utils.flops import step_flops as _exact_flops
 
     step = jax.jit(build_step_fn(static, task.preproc))
     step_args = (
@@ -120,7 +113,8 @@ def main():
     if isinstance(ca, list):
         ca = ca[0]
     step_bytes = float(ca.get("bytes accessed", 0.0))
-    step_flops = float(ca.get("flops", 0.0))
+    step_flops = _exact_flops(build_step_fn(static, task.preproc), *step_args)
+    step_flops_xla = float(ca.get("flops", 0.0))
     steps_per_epoch = -(-n // batch)
     steps_per_run = args.epochs * steps_per_epoch
     bytes_accessed = step_bytes * steps_per_run
@@ -145,14 +139,15 @@ def main():
         "device_kind": kind,
         "step_bytes_accessed_MB": round(step_bytes / 1e6, 1),
         "step_flops_G": round(step_flops / 1e9, 1),
+        "step_flops_G_xla_cost_analysis": round(step_flops_xla / 1e9, 1),
         "steps_per_run": steps_per_run,
         "measured_run_s": round(dt, 4),
-        "achieved_GB_per_s": round(achieved_gbs, 1),
+        "logical_GB_per_s": round(achieved_gbs, 1),
         "achieved_TFLOP_per_s": round(achieved_tflops, 2),
         "arithmetic_intensity_flops_per_byte": round(flops / max(bytes_accessed, 1), 1),
         "chip_HBM_GB_per_s": hbm_gbs,
         "chip_peak_bf16_TFLOP_per_s": peak_tflops,
-        "hbm_roofline_fraction": round(achieved_gbs / hbm_gbs, 3) if hbm_gbs else None,
+        "logical_bytes_vs_hbm_roofline": round(achieved_gbs / hbm_gbs, 3) if hbm_gbs else None,
         "mfu": round(achieved_tflops / peak_tflops, 3) if peak_tflops else None,
     }
     print(json.dumps(out, indent=2))
