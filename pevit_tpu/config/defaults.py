@@ -216,6 +216,7 @@ _C.TPU.SCAN_UNROLL = 0              # transformer layer-loop unroll: 0 full (def
 _C.TPU.STEP_UNROLL = 1              # step-loop unroll: 1 fori_loop (default), k>1 scan(unroll=k) over train steps (cross-step fusion A/B) — consumed by TaskStatic.from_config / trainer.build_epoch_fn
 _C.TPU.ATTN_LAYOUT = "auto"         # mask-free attention layout: auto (bhnd iff N<=64 — measured +4.5% B/32, crossover at N between 50 and 197), bnhd, bhnd; parity runs pin bnhd — consumed by TaskStatic.from_config / core.layers
 _C.TPU.FAST_LN = False              # LayerNorm stats in activation dtype (speed; off = reference fp32 islands)
+_C.TPU.FOLD_LN2 = False             # fold the ln_2 affine into the frozen c_fc GEMM (exact algebra; core/layers.py) — r4 A/B lever
 _C.TPU.FAST_LN_SWEEP = False        # FAST_LN for SWEEP stages only (final run keeps fp32 LN); selection-equality gate: tools/fast_ln_gate.py
 _C.TPU.USE_PALLAS_ATTENTION = False  # fused kernel available but XLA + transpose-free layout measured faster in-loop
 _C.TPU.FUSED_MLP = False            # fused LN2->MLP->residual Pallas kernel (dgrad-only VJP; auto-disabled for full_finetune) — consumed by TaskStatic.from_config

@@ -55,6 +55,20 @@ def set_fast_ln(enabled: bool) -> None:
     _FAST_LN = bool(enabled)
 
 
+# Fold the ln_2 affine (scale g, bias b) into the frozen c_fc GEMM:
+# ln2(x) @ W + c == norm(x) @ (g[:,None]*W) + (b@W + c) — exact algebra,
+# removes 2 elementwise ops from the VPU-latency-bound LN fusion the r3
+# profile pinned at ~46% of step time.  Trace-time switch (TPU.FOLD_LN2);
+# default OFF: rounding differs slightly (n vs y cast to bf16), so parity
+# tests keep the reference's LN->GEMM order.
+_FOLD_LN2 = False
+
+
+def set_fold_ln2(enabled: bool) -> None:
+    global _FOLD_LN2
+    _FOLD_LN2 = bool(enabled)
+
+
 def set_attn_layout(layout: str) -> None:
     global _ATTN_LAYOUT
     assert layout in ("auto", "bhnd", "bnhd"), layout
@@ -265,7 +279,17 @@ def residual_attention_block(
             params["mlp"]["c_proj"]["kernel"].astype(dt), params["mlp"]["c_proj"]["bias"].astype(dt),
             jax.default_backend() != "tpu",
         )
-    m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]), act=act)
+    if _FOLD_LN2:
+        # params are PRE-FOLDED (core.clip.fold_ln2_params: ln_2 affine lives
+        # inside c_fc; ln_2 itself is the identity) — skip the dead affine and
+        # feed the bare normalisation to the MLP.  fp32 stats, as layer_norm.
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        n = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+        m = mlp(params["mlp"], n, act=act)
+    else:
+        m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]), act=act)
     if mlp_post_fn is not None:
         m = mlp_post_fn(m)
     return x + m

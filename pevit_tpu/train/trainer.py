@@ -76,6 +76,7 @@ class TaskStatic:
     without_wd: tuple = ()  # TRAIN.WITHOUT_WD_LIST (optim/build.py:18-85)
     timm_filter: bool = False  # timm create_optimizer filter_bias_and_bn
     fast_ln: bool = False
+    fold_ln2: bool = False  # TPU.FOLD_LN2: ln_2 affine folded into c_fc (core/layers.py)
     scan_unroll: int = 0  # layer-loop unroll: 0 full (measured +10%/+24% b32/b16), 1 rolled (core/clip.py)
     step_unroll: int = 1  # step-loop unroll: 1 fori_loop (default), k>1 scan(unroll=k) over steps
     attn_layout: str = "auto"  # mask-free attention layout: auto = bhnd iff N<=64 (core/layers.py); parity pins bnhd
@@ -124,6 +125,11 @@ class TaskStatic:
             clip_grad_norm=config.TRAIN.CLIP_GRAD_NORM,
             two_lr=config.TRAIN.TWO_LR,
             fast_ln=config.TPU.FAST_LN and not config.TPU.PARITY_FP32,
+            # full_finetune trains the visual tower: the fold would change the
+            # parametrization the optimizer sees, so it is forced off there
+            fold_ln2=bool(config.TPU.get("FOLD_LN2", False))
+            and not config.TPU.PARITY_FP32
+            and peft_cfg.method != "full_finetune",
             scan_unroll=int(config.TPU.get("SCAN_UNROLL", 0)),
             step_unroll=int(config.TPU.get("STEP_UNROLL", 1)),
             # bhnd is a bf16-throughput feature (core/layers.py); fp32 compute
@@ -512,6 +518,16 @@ class TrainTask:
                 self._forward_fn = lambda p, x, train, rng=None: backbone.forward_features(p, x)
         else:
             self._forward_fn = None
+        if static.fold_ln2 and backbone is None \
+                and static.peft_cfg.method != "full_finetune":
+            # full_finetune trains the visual tower — folding would change
+            # the parametrization the optimizer sees, so it stays unfolded
+            # one-time ln_2-affine fold into the frozen c_fc GEMMs (exact
+            # algebra + idempotent — core.clip.fold_ln2_params); the per-step
+            # trace-time switch (core/layers.py) then skips the dead affine
+            from ..core.clip import fold_ln2_params
+
+            clip_params = fold_ln2_params(clip_params)
         self.clip_params = clip_params
         self.text_init_weights = text_init_weights
         self.eval_chunk = eval_chunk
@@ -540,9 +556,10 @@ class TrainTask:
         each task's jit cache entries were traced under its own flag.
         Also applies this task's layer-loop unroll (core/clip.py)."""
         from ..core.clip import set_scan_unroll
-        from ..core.layers import set_attn_layout, set_fast_ln
+        from ..core.layers import set_attn_layout, set_fast_ln, set_fold_ln2
 
         set_fast_ln(self.static.fast_ln)
+        set_fold_ln2(self.static.fold_ln2)
         set_scan_unroll(self.static.scan_unroll)
         set_attn_layout(self.static.attn_layout)
 
