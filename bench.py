@@ -81,8 +81,11 @@ def _measure(args, model: str) -> float:
     cfg.TRAIN.BATCH_SIZE_PER_GPU = batch
     cfg.TEST.METRIC = "accuracy"
     cfg.TPU.COMPUTE_DTYPE = args.dtype
-    cfg.TPU.REMAT = args.remat
+    cfg.TPU.REMAT = args.remat if args.remat is not None else (
+        "lean" if model == "l14" else "none"
+    )
     cfg.TPU.FAST_LN = args.fast_ln
+    cfg.TPU.FOLD_LN2 = args.fold_ln2
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
     cfg.TPU.FUSED_MLP = args.fused_mlp
     cfg.TPU.STEP_UNROLL = args.step_unroll
@@ -110,12 +113,17 @@ def _measure(args, model: str) -> float:
     lr_table = jnp.full((args.epochs,), 0.01, jnp.float32)
     wd = jnp.float32(1e-4)
 
-    # exact per-image FLOPs of THIS training step (trace only, no compile):
-    # the MFU numerator (VERDICT r4 ledger reconciliation)
+    # exact per-image FLOPs of this training step (trace only, no compile):
+    # the MFU numerator (VERDICT r4 ledger reconciliation).  MODEL flops, not
+    # hardware flops: counted on the remat-free step (PaLM MFU convention —
+    # recompute work does not inflate utilisation), so remat A/Bs compare on
+    # one ledger.
+    import dataclasses as _dc
+
     from pevit_tpu.train.streaming import build_step_fn
     from pevit_tpu.utils.flops import step_flops
 
-    step = build_step_fn(static, task.preproc)
+    step = build_step_fn(_dc.replace(static, remat="none"), task.preproc)
     gflop_per_img = step_flops(
         step, frozen, state, images[:batch], labels[:batch],
         jnp.ones((batch,), jnp.float32), jnp.float32(0.01), wd,
@@ -188,13 +196,23 @@ def _main():
     ap.add_argument("--epochs", type=int, default=8)  # ~3s of device time: averages out relay jitter
     ap.add_argument("--method", type=str, default="kadaptation")
     ap.add_argument("--model", type=str, default="both", choices=["b32", "b16", "l14", "both"])
-    ap.add_argument("--remat", action="store_true", help="rematerialize blocks (for l14 at big batch)")
+    # four-state remat knob (TPU.REMAT); bare --remat keeps the old "full"
+    # meaning, --remat lean exposes the four-state knob for sweeps.  Default
+    # is per-model: none for ViT-B (r2: every flavour loses there), lean for
+    # L/14 (r4 sweep: lean 212.1 vs none 201.6 img/s at batch 8 — at N=257
+    # x width 1024 the smaller activation stash beats the GELU recompute).
+    ap.add_argument("--remat", nargs="?", const="full", default=None,
+                    choices=["none", "full", "dots", "lean"],
+                    help="rematerialize blocks: none|full|dots|lean "
+                         "(bare flag = full; default none, l14 lean)")
     ap.add_argument("--no-pallas", action="store_true")
     # LN stats in activation dtype: +4.8% at B/32 (3362 vs 3208 img/s, r2
     # A/B), -1.5% at B/16; OFF by default because the reference's LayerNorm
     # is an fp32 island (model.py:154-160) and the headline number stays
     # numerics-faithful.
     ap.add_argument("--fast-ln", action="store_true")
+    # ln_2 affine folded into the frozen c_fc GEMM (core/layers.py) A/B
+    ap.add_argument("--fold-ln2", action="store_true")
     # fused LN2->MLP->residual Pallas kernel (ops/fused_mlp.py) A/B
     ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--scan-unroll", type=int, default=0)  # layer-loop unroll: 0 full (default), 1 rolled (core/clip.py)
