@@ -26,6 +26,11 @@ def _build_task(config, method: str, seed: int):
     from .peft import PeftConfig
     from .train import TaskStatic, TrainTask
 
+    if int(config.DATASET.NUM_CLASSES) <= 0:
+        raise ValueError(
+            "DATASET.NUM_CLASSES is 0: pass the dataset YAML (--ds) the head "
+            "was trained for, or override DATASET.NUM_CLASSES N — a serving "
+            "classifier cannot be built without a class count")
     name = config.MODEL.NAME
     ckpt = config.TEST.MODEL_FILE or config.MODEL.PRETRAINED or None
     clip_params, spec = load_clip(

@@ -204,3 +204,42 @@ def test_zeroshot_export_text_head(tmp_path):
     assert img_size == 32
     np.testing.assert_allclose(
         np.asarray(call(x)), np.asarray(serve(x)), rtol=1e-5, atol=1e-5)
+
+
+def test_serving_loader_zero_classes_fails_loudly():
+    """A config with no class count (no --ds) must not build an empty-head
+    classifier (r4 bug: fresh-export serve_bench with only --model produced
+    (N, 0) logits and crashed downstream)."""
+    import pytest
+
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.serving_loader import load_serving_callable
+
+    cfg = get_default_config()
+    assert cfg.DATASET.NUM_CLASSES == 0
+    with pytest.raises(ValueError, match="NUM_CLASSES"):
+        load_serving_callable(config=cfg, verbose=False)
+
+
+def test_serve_bench_defaults_num_classes(monkeypatch, capsys):
+    """serve_bench fills a 100-class head when no dataset YAML pins one
+    (the documented fresh-export command has no --ds)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import importlib
+
+    sb = importlib.import_module("serve_bench")
+
+    captured = {}
+
+    def fake_load(**kw):
+        captured["config"] = kw["config"]
+        raise SystemExit(0)  # stop before any device work
+
+    monkeypatch.setattr("pevit_tpu.serving_loader.load_serving_callable", fake_load)
+    with __import__("pytest").raises(SystemExit):
+        sb.main(["--model", "resources/model/vitb32_CLIP.yaml",
+                 "MODEL.PRETRAINED", "random"])
+    assert captured["config"].DATASET.NUM_CLASSES == 100

@@ -86,6 +86,13 @@ def main(argv=None):
     if not args.artifact and not args.model:
         raise SystemExit("need --model (fresh export) or --artifact (replay)")
     config = _config_from(args) if (args.model or args.ds) else None
+    if config is not None and int(config.DATASET.NUM_CLASSES) <= 0:
+        # bench harness: any head size exercises the same program shape —
+        # default to 100 classes when no dataset YAML pins one
+        config.defrost()
+        config.DATASET.NUM_CLASSES = 100
+        config.freeze()
+        print("# no --ds: benching with a 100-class head", flush=True)
     call, image_size = load_serving_callable(
         artifact=args.artifact, config=config, method=args.method,
         weights_from=args.weights_from, quantize=args.quantize, seed=args.seed,
