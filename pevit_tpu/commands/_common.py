@@ -73,6 +73,16 @@ def setup_config(args):
     if args.submit_predictions:
         assert args.submit_by
 
+    # LOSS.LOSS: the reference only wires 'softmax' (feature.py:288-296 —
+    # its 'contrast' branch logs a line and leaves model.forward unset, a
+    # latent crash).  Anything else here would train the wrong objective
+    # silently, so reject loudly.
+    if config.LOSS.LOSS != "softmax":
+        raise ValueError(
+            f"LOSS.LOSS={config.LOSS.LOSS!r} is not supported: only 'softmax' "
+            "is wired (the reference's 'contrast' branch is vestigial — "
+            "feature.py:295-296 never sets a forward)")
+
     if args.fix_seed != -1:
         random.seed(args.fix_seed)
         np.random.seed(args.fix_seed)

@@ -74,11 +74,26 @@ def validate_submission_dict(d: dict) -> PredictionSubmission:
     return sub
 
 
+def model_info_from_config(config) -> dict:
+    """The leaderboard model record (reference common/utils.py:29-37):
+    consumes MODEL.AUTHOR / NUM_PARAMS_IN_M / PRETRAINED_DATA /
+    CREATION_TIME from the model YAML."""
+    return {
+        "name": config.MODEL.NAME,
+        "author": config.MODEL.AUTHOR,
+        "num_params_in_millions": config.MODEL.NUM_PARAMS_IN_M,
+        "pretrained_data": config.MODEL.PRETRAINED_DATA,
+        "creation_time": config.MODEL.CREATION_TIME,
+    }
+
+
 def submit_predictions(submission: dict, submit_by: str, config) -> None:
     """Reference common/utils.py:submit_predictions — validates, then posts
     to the eval.ai leaderboard.  Network egress is unavailable here, so this
-    validates and reports what WOULD be submitted."""
+    validates, logs the model record (submit_model_to_leaderboard's payload),
+    and reports what WOULD be submitted."""
     sub = validate_submission_dict(submission)
+    logging.info("model record: %s", model_info_from_config(config))
     logging.info(
         "submission valid: %s on %s (%d seeds) by %s — network submission "
         "disabled in this environment; upload the prepare_submit zip manually",

@@ -32,7 +32,7 @@ import numpy as np
 
 from .registry import get_dataset_info
 from .sampling import class_balanced_val_split, sample_few_shot_subset
-from .transforms import preprocess_batch, resize_center_crop
+from .transforms import preprocess_batch, resize_center_crop, resize_exact
 
 
 @dataclass
@@ -195,9 +195,20 @@ def _load_cifar(root: Path, split: str, image_size: int) -> Optional[ArrayDatase
     return ArrayDataset(images, np.asarray(ys, np.int64))
 
 
-def _load_imagefolder(root: Path, split: str, image_size: int) -> Optional[ArrayDataset]:
-    d = root / split
-    if not d.is_dir():
+def _load_imagefolder(
+    root: Path, split: str, image_size: int,
+    *, center_crop: bool = True, dir_names: Optional[list] = None,
+) -> Optional[ArrayDataset]:
+    """``dir_names``: physical directory candidates for this logical split —
+    the reference's ImageFolder path joins ROOT with DATASET.TRAIN_SET /
+    VAL_SET / TEST_SET (feature.py:601-607); the logical name is kept as a
+    fallback so existing trees keep loading."""
+    d = None
+    for cand in dir_names or [split]:
+        if cand and (root / cand).is_dir():
+            d = root / cand
+            break
+    if d is None:
         return None
     classes = sorted(p.name for p in d.iterdir() if p.is_dir())
     if not classes:
@@ -212,19 +223,23 @@ def _load_imagefolder(root: Path, split: str, image_size: int) -> Optional[Array
     if not entries:
         return None
 
+    resize = resize_center_crop if center_crop else resize_exact
+
     def decode_one(entry):
         f, ci = entry
         try:
             with Image.open(f) as im:
-                return resize_center_crop(im, image_size), np.int64(ci)
+                return resize(im, image_size), np.int64(ci)
         except Exception as e:  # corrupt images tolerated (feature.py:47-49)
             logging.warning("skipping corrupt image %s: %s", f, e)
             return None, None
 
-    return _decode_with_shard_cache(root, split, image_size, entries, decode_one)
+    cache_key = split if center_crop else f"{split}.nocrop"
+    return _decode_with_shard_cache(root, cache_key, image_size, entries, decode_one)
 
 
-def _load_manifest(root: Path, split: str, image_size: int, num_classes: int) -> Optional[ArrayDataset]:
+def _load_manifest(root: Path, split: str, image_size: int, num_classes: int,
+                   *, center_crop: bool = True) -> Optional[ArrayDataset]:
     f = root / f"{split}.json"
     if not f.exists():
         return None
@@ -233,10 +248,11 @@ def _load_manifest(root: Path, split: str, image_size: int, num_classes: int) ->
 
     entries = manifest["images"]
     multilabel = any(isinstance(e.get("labels"), list) and len(e["labels"]) != 1 for e in entries)
+    resize = resize_center_crop if center_crop else resize_exact
 
     def decode_one(e):
         with Image.open(root / e["path"]) as im:
-            img = resize_center_crop(im, image_size)
+            img = resize(im, image_size)
         labels = e["labels"] if isinstance(e["labels"], list) else [e["labels"]]
         if multilabel:
             vec = np.zeros(num_classes, np.float32)
@@ -244,7 +260,8 @@ def _load_manifest(root: Path, split: str, image_size: int, num_classes: int) ->
             return img, vec
         return img, np.int64(labels[0])
 
-    return _decode_with_shard_cache(root, split, image_size, entries, decode_one)
+    cache_key = split if center_crop else f"{split}.nocrop"
+    return _decode_with_shard_cache(root, cache_key, image_size, entries, decode_one)
 
 
 def _synthetic(name: str, split: str, image_size: int, num_classes: int) -> ArrayDataset:
@@ -296,27 +313,37 @@ def load_split(
     num_classes: int = 0,
     allow_synthetic: bool = True,
     cache: bool = True,
+    center_crop: bool = True,
+    dir_names: Optional[list] = None,
 ) -> ArrayDataset:
+    """``center_crop``: DATASET.CENTER_CROP — off = exact (size, size) resize
+    (feature.py:543-549); off runs cache under ``{split}.nocrop.*`` so the two
+    preprocessing modes never read each other's artifacts.  ``dir_names``:
+    physical ImageFolder dir candidates (DATASET.TRAIN_SET etc.)."""
     rootp = Path(root) if root else Path(".")
-    ds = _load_npz(rootp, split)
+    cache_key = split if center_crop else f"{split}.nocrop"
+    ds = _load_npz(rootp, cache_key)
     if ds is None:
-        ds = _load_shard_cache(rootp, split)  # completed decode, unconsolidated
+        ds = _load_shard_cache(rootp, cache_key)  # completed decode, unconsolidated
     if ds is None and name.startswith("cifar"):
+        # square source images: shorter-side resize + crop == exact resize
         ds = _load_cifar(rootp, split, image_size)
     if ds is None:
-        ds = _load_imagefolder(rootp, split, image_size)
+        ds = _load_imagefolder(rootp, split, image_size,
+                               center_crop=center_crop, dir_names=dir_names)
     if ds is None:
-        ds = _load_manifest(rootp, split, image_size, num_classes)
+        ds = _load_manifest(rootp, split, image_size, num_classes,
+                            center_crop=center_crop)
     if ds is None:
         if not (allow_synthetic or name.startswith("synthetic")):
             raise FileNotFoundError(f"No local data for dataset {name!r} under {root!r}")
         logging.warning("dataset %s not found under %s; using synthetic data", name, root)
         ds = _synthetic(name, split, image_size, num_classes)
-    elif cache and not (rootp / f"{split}.npz").exists():
+    elif cache and not (rootp / f"{cache_key}.npz").exists():
         try:
             rootp.mkdir(parents=True, exist_ok=True)
-            np.savez_compressed(rootp / f"{split}.npz", images=ds.images, labels=ds.labels)
-            _drop_shard_cache(rootp, split)  # shards superseded by the npz
+            np.savez_compressed(rootp / f"{cache_key}.npz", images=ds.images, labels=ds.labels)
+            _drop_shard_cache(rootp, cache_key)  # shards superseded by the npz
         except OSError:
             pass
     return ds
@@ -344,14 +371,30 @@ def build_splits(config, *, test_split_only: bool = False):
         or name not in ELEVATER_DATASETS
     )
 
-    test = load_split(name, root, "test", image_size=image_size, num_classes=num_classes,
-                      allow_synthetic=allow_syn)
+    # DATASET.CENTER_CROP (feature.py:535-549) + physical split dir names for
+    # ImageFolder trees (feature.py:601-607); the logical name stays as a
+    # fallback candidate so existing local trees keep resolving
+    center_crop = bool(config.DATASET.CENTER_CROP)
+    if not center_crop:
+        logging.info("no center crop")
+    common = dict(image_size=image_size, num_classes=num_classes,
+                  allow_synthetic=allow_syn, center_crop=center_crop)
+
+    def dirs(configured: str, logical: str) -> list:
+        # logical name first (this loader's documented tree layout), the
+        # configured reference name (TRAIN_SET/VAL_SET/TEST_SET) as the
+        # fallback — so ImageNet-style trees (test images in ``val/``,
+        # the reference's TEST_SET default) resolve without renames
+        return [logical, configured] if configured and configured != logical else [logical]
+
+    test = load_split(name, root, "test",
+                      dir_names=dirs(config.DATASET.TEST_SET, "test"), **common)
     if test_split_only:
         return None, None, test
 
     # train split may live in 'train' (+optional separate val dir)
-    full_train = load_split(name, root, "train", image_size=image_size, num_classes=num_classes,
-                            allow_synthetic=allow_syn)
+    full_train = load_split(name, root, "train",
+                            dir_names=dirs(config.DATASET.TRAIN_SET, "train"), **common)
 
     n_shot = config.DATASET.NUM_SAMPLES_PER_CLASS
     if n_shot > 0:
@@ -360,7 +403,14 @@ def build_splits(config, *, test_split_only: bool = False):
         logging.info("few-shot subset: %d-shot seed %d -> %d images",
                      n_shot, config.DATASET.RANDOM_SEED_SAMPLING, len(full_train))
 
-    train_idx, val_idx = class_balanced_val_split(full_train.labels, val_split=0.2)
-    train, val = full_train.subset(train_idx), full_train.subset(val_idx)
+    if config.DATASET.VAL_SET:
+        # explicit val directory: the whole train set trains, no 0.2 carve-out
+        # (feature.py:601-603)
+        val = load_split(name, root, "val",
+                         dir_names=dirs(config.DATASET.VAL_SET, "val"), **common)
+        train = full_train
+    else:
+        train_idx, val_idx = class_balanced_val_split(full_train.labels, val_split=0.2)
+        train, val = full_train.subset(train_idx), full_train.subset(val_idx)
     logging.info("splits: train=%d val=%d test=%d", len(train), len(val), len(test))
     return train, val, test

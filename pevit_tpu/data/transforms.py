@@ -54,6 +54,17 @@ def resize_center_crop(img, size: int = 224, *, use_native: bool = True) -> np.n
     return np.asarray(img, dtype=np.uint8)
 
 
-def preprocess_batch(images, size: int = 224) -> np.ndarray:
+def resize_exact(img, size: int = 224) -> np.ndarray:
+    """torchvision Resize((size, size), bicubic) — aspect-destroying exact
+    resize, no crop: the reference's ``DATASET.CENTER_CROP False`` branch
+    (feature.py:543-549).  Returns uint8 HWC."""
+    if isinstance(img, np.ndarray):
+        img = Image.fromarray(img)
+    img = img.convert("RGB")
+    return np.asarray(img.resize((size, size), Image.BICUBIC), dtype=np.uint8)
+
+
+def preprocess_batch(images, size: int = 224, *, center_crop: bool = True) -> np.ndarray:
     """List of PIL/ndarray images -> (N, size, size, 3) uint8."""
-    return np.stack([resize_center_crop(im, size) for im in images])
+    fn = resize_center_crop if center_crop else resize_exact
+    return np.stack([fn(im, size) for im in images])

@@ -132,6 +132,14 @@ def get_model(config, feature_type: str = "image") -> Backbone:
         mspec = config.MODEL.SPEC if "SPEC" in config.MODEL else {}
         drop_path = float(mspec.get("DROP_PATH_RATE", 0.0))
         layer_scale = bool(mspec.get("LAYER_SCALE", False))
+        if not config.MODEL.INIT_WEIGHTS:
+            # reference cls_swin.py:706 skips its trunc-normal init_weights()
+            # when False, keeping torch's module-default init — JAX params
+            # are created WITH their init, so that state is unreachable here
+            raise ValueError(
+                "MODEL.INIT_WEIGHTS=False is not supported: params are "
+                "created with the trunc-normal init (cls_swin.py:706 "
+                "semantics); load a checkpoint instead of disabling init")
         if ckpt_file:
             from ..ckpt.torch_loader import read_torch_state_dict
 

@@ -33,7 +33,7 @@ def wd_grid(config):
     return grid, init_idx
 
 
-def _run_chunk(task: TrainTask, chunk: list, data, end_epoch: int, seed: int) -> list:
+def _run_chunk(task: TrainTask, chunk: list, data, end_epoch: int, seed: int, begin_epoch: int = 0) -> list:
     """Scores for one vmapped trial chunk, with width-halving fallback.
 
     A JaxRuntimeError on a multi-trial chunk is retried as two half-width
@@ -47,7 +47,8 @@ def _run_chunk(task: TrainTask, chunk: list, data, end_epoch: int, seed: int) ->
     train_x, train_y, val_x, val_y = data
     try:
         res = task.train_trials(
-            chunk, train_x, train_y, val_x, val_y, end_epoch=end_epoch, seed=seed
+            chunk, train_x, train_y, val_x, val_y, end_epoch=end_epoch,
+            begin_epoch=begin_epoch, seed=seed
         )
         use_last = task.config.TRAIN.SEARCH_RESULT_ON_LAST_EPOCH
         out = []
@@ -64,8 +65,8 @@ def _run_chunk(task: TrainTask, chunk: list, data, end_epoch: int, seed: int) ->
                     len(chunk), e, mid, len(chunk) - mid,
                 )
                 return (
-                    _run_chunk(task, chunk[:mid], data, end_epoch, seed)
-                    + _run_chunk(task, chunk[mid:], data, end_epoch, seed)
+                    _run_chunk(task, chunk[:mid], data, end_epoch, seed, begin_epoch)
+                    + _run_chunk(task, chunk[mid:], data, end_epoch, seed, begin_epoch)
                 )
             logging.error("DEVICE error in sweep stage (%s: %s) — aborting sweep", type(e).__name__, e)
             raise
@@ -73,7 +74,7 @@ def _run_chunk(task: TrainTask, chunk: list, data, end_epoch: int, seed: int) ->
         return [0.0] * len(chunk)
 
 
-def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max_parallel: int, cache=None):
+def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max_parallel: int, cache=None, begin_epoch: int = 0):
     """Run a stage of (lr, wd) trials, chunked to ``max_parallel`` per vmap.
 
     With a ``SweepCache`` (train/sweep_cache.py), finished trials replay
@@ -84,7 +85,7 @@ def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max
     if cache is None:
         scores = []
         for s in range(0, len(jobs), max_parallel):
-            scores.extend(_run_chunk(task, jobs[s : s + max_parallel], data, end_epoch, seed))
+            scores.extend(_run_chunk(task, jobs[s : s + max_parallel], data, end_epoch, seed, begin_epoch))
         return scores
 
     scores = [cache.get(lr, wd) for lr, wd in jobs]
@@ -99,7 +100,7 @@ def _run_stage(task: TrainTask, jobs: list, data, end_epoch: int, seed: int, max
         logging.info("sweep stage: %d/%d trials from cache", len(jobs) - len(miss_pos), len(jobs))
     fresh = []
     for s in range(0, len(miss_jobs), max_parallel):
-        fresh.extend(_run_chunk(task, miss_jobs[s : s + max_parallel], data, end_epoch, seed))
+        fresh.extend(_run_chunk(task, miss_jobs[s : s + max_parallel], data, end_epoch, seed, begin_epoch))
     for (lr, wd), sc in zip(miss_jobs, fresh):
         cache.put(lr, wd, sc)
         for i in pending[(lr, wd)]:
@@ -117,6 +118,9 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
     lrs = np.logspace(-6, -1, num=6).tolist()
     grid, init_idx = wd_grid(config)
     end_epoch = config.TRAIN.END_EPOCH
+    # epochs run = range(BEGIN_EPOCH, END_EPOCH), like every reference trainer
+    # loop (kadaptation_clip.py:291 etc.); nonzero BEGIN shortens training
+    begin_epoch = config.TRAIN.BEGIN_EPOCH
     # per-device cap x trial-mesh width (trials shard across devices as SPMD)
     max_parallel = task.max_parallel_trials()
     wd_search_left = config.TRAIN.WD_SEARCH_LEFT
@@ -149,7 +153,7 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
 
     # --- stage 0: coarse grid, all LRs at once -----------------------------
     jobs = [(lr, grid[idx]) for lr in lrs for idx in init_idx]
-    scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel, cache)
+    scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel, cache, begin_epoch)
     k = 0
     for lr in lrs:
         for idx in init_idx:
@@ -175,7 +179,7 @@ def hyperparameter_sweep_lr(task: TrainTask, data, config, *, seed: int = 0):
                 wd = grid[left] if wd_search_left else grid[idx]
                 jobs.append((lr, wd))
                 meta.append((lr, idx))
-        scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel, cache)
+        scores = _run_stage(task, jobs, data, end_epoch, seed, max_parallel, cache, begin_epoch)
         for (lr, idx), sc in zip(meta, scores):
             if sc > peak_score[lr]:
                 peak_idx[lr], peak_score[lr] = idx, sc
@@ -262,6 +266,7 @@ def run_method(task: TrainTask, data, config, *, no_tuning: bool, lr: float, l2:
         test_x,
         test_y,
         end_epoch=end_epoch,
+        begin_epoch=config.TRAIN.BEGIN_EPOCH,
         seed=seed,
         keep_logits=True,
         log_every=1,

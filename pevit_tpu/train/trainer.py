@@ -693,7 +693,16 @@ class TrainTask:
         from .optim import build_wd_mask
 
         trainable, _, _ = self.init_bundle(jax.random.PRNGKey(0))
-        return build_wd_mask(trainable, self.static.without_wd, timm_filter=self.static.timm_filter)
+        mask = build_wd_mask(trainable, self.static.without_wd, timm_filter=self.static.timm_filter)
+        if self.config.VERBOSE:
+            # reference optim/build.py:55-74 logs the no-decay params when
+            # cfg.VERBOSE; same signal here, one line per masked leaf path
+            import jax.tree_util as jtu
+
+            for path, m in jtu.tree_leaves_with_path(mask):
+                if not m:
+                    logging.info("no weight decay: %s", jtu.keystr(path))
+        return mask
 
     def _mesh_plan(self, n_trials: int):
         """(mesh, n_trial, n_data) — the device mesh for this trial batch.

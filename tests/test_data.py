@@ -133,3 +133,101 @@ def test_real_dataset_name_fails_loudly_without_data(tmp_path):
     cfg.DATASET.ALLOW_SYNTHETIC = True
     train, val, test = build_splits(cfg)
     assert len(train) and len(test)
+
+
+def _make_tree(tmp_path, splits, n_per_class=3, hw=(60, 40)):
+    from PIL import Image
+
+    for split in splits:
+        for ci, cname in enumerate(["alpha", "beta"]):
+            d = tmp_path / split / cname
+            d.mkdir(parents=True)
+            for i in range(n_per_class):
+                arr = np.full((*hw, 3), 30 + 90 * ci + i, np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+
+def test_center_crop_off_is_exact_resize(tmp_path):
+    """DATASET.CENTER_CROP False = aspect-destroying (size, size) resize
+    (feature.py:543-549); caches for the two modes never collide."""
+    from PIL import Image
+
+    from pevit_tpu.data.transforms import resize_exact
+
+    _make_tree(tmp_path, ["train"], hw=(80, 40))  # tall 2:1 images
+    a = load_split("foo", str(tmp_path), "train", image_size=32, num_classes=2)
+    b = load_split("foo", str(tmp_path), "train", image_size=32, num_classes=2,
+                   center_crop=False)
+    assert a.images.shape == b.images.shape == (6, 32, 32, 3)
+    # distinct cache artifacts
+    assert (tmp_path / "train.npz").exists()
+    assert (tmp_path / "train.nocrop.npz").exists()
+    # exact-resize semantics match PIL directly
+    src = np.full((80, 40, 3), 30, np.uint8)
+    np.testing.assert_array_equal(
+        resize_exact(Image.fromarray(src), 32),
+        np.asarray(Image.fromarray(src).convert("RGB").resize((32, 32), Image.BICUBIC)),
+    )
+
+
+def test_split_dir_names_from_config(tmp_path):
+    """DATASET.TRAIN_SET/VAL_SET/TEST_SET name the physical ImageFolder dirs
+    (feature.py:601-607): an ImageNet-style tree (test images under val/)
+    loads via the TEST_SET default; an explicit VAL_SET dir suppresses the
+    0.2 carve-out and the whole train set trains."""
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.data.sources import build_splits
+
+    _make_tree(tmp_path, ["training_images", "validation_images", "val"], n_per_class=5)
+    cfg = get_default_config()
+    cfg.DATASET.DATASET = "foo"
+    cfg.DATASET.ROOT = str(tmp_path)
+    cfg.DATASET.NUM_CLASSES = 2
+    cfg.DATASET.TRAIN_SET = "training_images"
+    cfg.DATASET.VAL_SET = "validation_images"
+    cfg.TRAIN.IMAGE_SIZE = [32, 32]
+    train, val, test = build_splits(cfg)
+    assert len(train) == 10      # whole train set — no 0.2 split
+    assert len(val) == 10        # explicit val dir
+    assert len(test) == 10       # TEST_SET default "val" resolves val/
+
+
+def test_begin_epoch_consumed(tmp_path, caplog):
+    """TRAIN.BEGIN_EPOCH shortens training to range(BEGIN, END) like every
+    reference trainer loop (kadaptation_clip.py:291)."""
+    import logging as _logging
+
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.core import CLIPSpec, init_clip_params
+    from pevit_tpu.core.clip import TextSpec, VisionSpec
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.train import TaskStatic, TrainTask
+    from pevit_tpu.train.sweep import run_method
+
+    import jax
+
+    spec = CLIPSpec(
+        embed_dim=32,
+        vision=VisionSpec(input_resolution=32, patch_size=16, width=64,
+                          layers=2, heads=4, output_dim=32),
+        text=TextSpec(context_length=8, vocab_size=64, width=32, heads=4,
+                      layers=2, output_dim=32),
+    )
+    cfg = get_default_config()
+    cfg.DATASET.NUM_CLASSES = 2
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = 4
+    cfg.TRAIN.END_EPOCH = 3
+    cfg.TRAIN.BEGIN_EPOCH = 2
+    cfg.TRAIN.EXTRA_FINAL_TRAIN_EPOCH = 0
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    static = TaskStatic.from_config(cfg, spec, PeftConfig(method="lora"))
+    task = TrainTask(cfg, static, init_clip_params(jax.random.PRNGKey(0), spec))
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    y = (np.arange(8) % 2).astype(np.int64)
+    with caplog.at_level(_logging.INFO):
+        run_method(task, (x, y, x, y, x, y), cfg, no_tuning=True,
+                   lr=0.01, l2=1e-4, seed=0)
+    # exactly ONE epoch ran (3 - 2), logged with its true index
+    epochs = [r for r in caplog.records if "Val" in r.getMessage()]
+    assert len(epochs) == 1 and "[Epoch 2]" in epochs[0].getMessage()

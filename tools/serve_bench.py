@@ -185,8 +185,22 @@ def main(argv=None):
                 ref = out
             else:
                 m = min(len(out), len(ref))  # daemon arm trims to clients*per_client
-                if not np.allclose(out[:m], ref[:m], atol=1e-2):
-                    raise SystemExit(f"{name} rep{rep}: logits mismatch vs first arm")
+                # Cross-arm equality must be SHAPE-ROBUST: the daemon's
+                # coalesced groups run bucketed sub-batches whose bf16
+                # rounding legitimately differs from the batch-N arms (at
+                # logit scale ~100 one bf16 ulp is ~0.5).  Same-shape arms
+                # stay bit-close; across shapes, gate on relative max-diff
+                # plus argmax agreement — a routing bug (rows swapped
+                # between requests) produces O(logit-range) diffs and
+                # argmax churn, far past both gates.
+                scale = float(np.abs(ref[:m]).max()) or 1.0
+                maxd = float(np.abs(out[:m] - ref[:m]).max())
+                agree = float((out[:m].argmax(1) == ref[:m].argmax(1)).mean())
+                if maxd > 0.02 * scale or agree < 0.995:
+                    raise SystemExit(
+                        f"{name} rep{rep}: logits mismatch vs first arm "
+                        f"(max|d|={maxd:.4f} at scale {scale:.2f}, "
+                        f"argmax agreement {agree:.4f})")
             print(f"# {name} rep{rep}: {len(out) / dt:.0f} img/s ({dt:.1f}s)", flush=True)
 
     for name, vals in results.items():
