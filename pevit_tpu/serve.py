@@ -326,8 +326,13 @@ class MicroBatcher:
         self._pipe = pipeline
         self._window = max(0.0, float(window_ms)) / 1000.0
         self._max_group = int(max_group) or pipeline.max_batch
+        from collections import deque
+
         self._q: "_queue.Queue" = _queue.Queue()
         self.stats = {"requests": 0, "groups": 0}
+        # per-request wall latency (enqueue -> logits ready): bounded
+        # reservoir of the most recent completions for the /stats endpoint
+        self._lat = deque(maxlen=4096)
         self._worker = _threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -337,10 +342,12 @@ class MicroBatcher:
 
         import numpy as np
 
+        import time as _time
+
         images = np.asarray(images)
         done = _threading.Event()
         slot: dict = {}
-        self._q.put((images, done, slot))
+        self._q.put((images, done, slot, _time.perf_counter()))
         done.wait()
         if "err" in slot:
             raise slot["err"]
@@ -349,6 +356,19 @@ class MicroBatcher:
     def close(self) -> None:
         self._q.put(self._CLOSE)
         self._worker.join(timeout=30)
+
+    def latency_stats(self) -> dict:
+        """Percentiles (ms) over the recent per-request wall latencies
+        (enqueue -> logits ready: queue wait + window + device compute)."""
+        import numpy as np
+
+        lat = np.asarray(self._lat, np.float64)
+        if not lat.size:
+            return {"count": 0}
+        p50, p95, p99 = np.percentile(lat, [50, 95, 99]) * 1e3
+        return {"count": int(lat.size), "mean_ms": round(float(lat.mean()) * 1e3, 2),
+                "p50_ms": round(float(p50), 2), "p95_ms": round(float(p95), 2),
+                "p99_ms": round(float(p99), 2)}
 
     # ------------------------------------------------------------------
     def _loop(self) -> None:
@@ -390,15 +410,17 @@ class MicroBatcher:
                     batch = np.concatenate([g[0] for g in group])
                 logits = self._pipe(batch)
                 off = 0
-                for imgs, done, slot in group:
+                now = _time.perf_counter()
+                for imgs, done, slot, t0 in group:
                     n = imgs.shape[0]
                     slot["out"] = logits[off : off + n]
                     off += n
+                    self._lat.append(now - t0)
                     done.set()
                 self.stats["requests"] += len(group)
                 self.stats["groups"] += 1
             except Exception as e:  # propagate to every waiter, stay alive
-                for _, done, slot in group:
+                for _, done, slot, _t0 in group:
                     slot["err"] = e
                     done.set()
             if closing:

@@ -112,3 +112,35 @@ def test_mismatched_shapes_do_not_share_a_group():
     np.testing.assert_allclose(results["a"], 48.0)
     np.testing.assert_allclose(results["b"], 2 * 8 * 8 * 3)
     mb.close()
+
+
+def test_latency_stats_populated():
+    """Per-request latency percentiles accumulate (enqueue -> logits ready)
+    and survive coalesced groups."""
+    import threading
+
+    import numpy as np
+
+    from pevit_tpu.serve import InferencePipeline, MicroBatcher
+
+    def call(x):
+        return np.asarray(x, np.float32).reshape(x.shape[0], -1)[:, :4]
+
+    pipe = InferencePipeline(call, max_batch=32, min_bucket=4, depth=2)
+    mb = MicroBatcher(pipe, window_ms=5.0)
+    try:
+        assert mb.latency_stats() == {"count": 0}
+        threads = [threading.Thread(
+            target=lambda: mb.infer(np.zeros((2, 4, 4, 3), np.uint8)))
+            for _ in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        st = mb.latency_stats()
+        assert st["count"] == 6
+        for k in ("mean_ms", "p50_ms", "p95_ms", "p99_ms"):
+            assert st[k] >= 0.0
+        assert st["p99_ms"] >= st["p50_ms"]
+    finally:
+        mb.close()

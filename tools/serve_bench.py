@@ -130,8 +130,9 @@ def main(argv=None):
             "serve_daemon", REPO / "tools" / "serve_daemon.py")
         daemon = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(daemon)
+        depth = max((int(x) for x in args.depths.split(",") if x), default=2)
         srv = daemon.make_server(call, image_size, port=0, max_batch=args.batch,
-                                 min_bucket=8, depth=2, window_ms=args.window_ms)
+                                 min_bucket=8, depth=depth, window_ms=args.window_ms)
         st = threading.Thread(target=srv.serve_forever, daemon=True)
         st.start()
         url = f"http://127.0.0.1:{srv.server_address[1]}/infer"
@@ -165,6 +166,7 @@ def main(argv=None):
         reqs = srv.batcher.stats["requests"]
         print(f"#   daemon: {reqs} requests coalesced into {groups} device groups",
               flush=True)
+        print(f"#   daemon latency: {srv.batcher.latency_stats()}", flush=True)
         return out[: per_client * args.clients]
 
     num_classes = int(np.asarray(w).shape[-1])

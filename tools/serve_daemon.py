@@ -81,7 +81,8 @@ def make_server(call_fn, image_size: int, *, host: str = "127.0.0.1",
                 self._json(200, {"status": "ok", "image_size": image_size})
             elif self.path == "/stats":
                 self._json(200, {**pipe.stats, **batcher.stats,
-                                 "throughput": pipe.throughput})
+                                 "throughput": pipe.throughput,
+                                 "latency": batcher.latency_stats()})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 
