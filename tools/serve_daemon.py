@@ -8,7 +8,10 @@ an artifact (or export fresh from a checkpoint), wrap it in
   POST /infer    body = .npy (numpy save format) uint8 array (N, H, W, 3)
                  response = .npy float32 logits (N, K)
   GET  /healthz  liveness: {"status": "ok", "image_size": S}
-  GET  /stats    cumulative {"images", "batches", "seconds", "throughput"}
+  GET  /stats    cumulative {"images", "batches", "seconds", "throughput",
+                 "requests", "groups", "latency": {count, mean_ms, p50_ms,
+                 p95_ms, p99_ms}} — per-request wall latency percentiles
+                 (enqueue -> logits ready) over a recent-window reservoir
 
 The .npy wire format keeps the protocol dependency-free on both ends
 (`np.save`/`np.load` over HTTP; curl works too).  Concurrent requests are
