@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--splits", default="train,test", help="comma-separated splits to preprocess")
     ap.add_argument("--image-size", type=int, default=224)
     ap.add_argument("--num-classes", type=int, default=0, help="needed for multilabel manifests")
+    ap.add_argument("--no-center-crop", action="store_true",
+                    help="exact (size, size) resize instead of shorter-side+crop "
+                         "(DATASET.CENTER_CROP False); caches under {split}.nocrop.npz")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -46,9 +49,11 @@ def main(argv=None):
             args.dataset or "local", args.root, split,
             image_size=args.image_size, num_classes=args.num_classes,
             allow_synthetic=False, cache=True,
+            center_crop=not args.no_center_crop,
         )
+        tag = split if not args.no_center_crop else f"{split}.nocrop"
         logging.info("%s: %d images ready (%s)", split, len(ds),
-                     Path(args.root) / f"{split}.npz")
+                     Path(args.root) / f"{tag}.npz")
 
 
 if __name__ == "__main__":
