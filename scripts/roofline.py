@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--method", default="kadaptation")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fast-ln", action="store_true")
+    # default = per-model operating point: lean remat for l14 (r4 sweep),
+    # none elsewhere; FLOPs stay MODEL flops (remat-free step) either way
+    ap.add_argument("--remat", default="",
+                    choices=["", "none", "full", "dots", "lean"])
     args = ap.parse_args()
 
     import jax
@@ -68,6 +72,7 @@ def main():
     cfg.TEST.METRIC = "accuracy"
     cfg.TPU.COMPUTE_DTYPE = args.dtype
     cfg.TPU.FAST_LN = args.fast_ln
+    cfg.TPU.REMAT = args.remat or ("lean" if args.model == "l14" else "none")
     cfg.TPU.USE_PALLAS_ATTENTION = False
 
     spec = {"b16": CLIPSpec.vit_b16, "l14": CLIPSpec.vit_l14}.get(args.model, CLIPSpec.vit_b32)()
@@ -113,7 +118,11 @@ def main():
     if isinstance(ca, list):
         ca = ca[0]
     step_bytes = float(ca.get("bytes accessed", 0.0))
-    step_flops = _exact_flops(build_step_fn(static, task.preproc), *step_args)
+    import dataclasses as _dc
+
+    # MODEL flops (remat-free step) — bench.py's MFU convention
+    step_flops = _exact_flops(
+        build_step_fn(_dc.replace(static, remat="none"), task.preproc), *step_args)
     step_flops_xla = float(ca.get("flops", 0.0))
     steps_per_epoch = -(-n // batch)
     steps_per_run = args.epochs * steps_per_epoch
