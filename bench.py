@@ -138,7 +138,17 @@ def _measure(args, model: str) -> float:
     # force a REAL sync on this relay backend: fetch a value to host
     float(jax.tree.leaves(state[0])[0].ravel()[0])
     dt = time.perf_counter() - t0
-    return args.epochs * n / dt, batch, gflop_per_img
+
+    # HBM footprint of the whole-run program (cache-hit recompile, ~free):
+    # temp = XLA's peak scratch (activations/stashes), args = resident data
+    hbm = {}
+    try:
+        ms = fit.lower(frozen, images, labels, state, lr_table, wd).compile().memory_analysis()
+        hbm = {"hbm_temp_mb": round(ms.temp_size_in_bytes / 1e6, 1),
+               "hbm_args_mb": round(ms.argument_size_in_bytes / 1e6, 1)}
+    except Exception:
+        pass
+    return args.epochs * n / dt, batch, gflop_per_img, hbm
 
 
 def _mfu(rate: float, gflop_per_img: float) -> float:
@@ -232,7 +242,7 @@ def _main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     primary = args.model if args.model in ("b16", "l14") else "b32"
-    rate, batch, gfi = _measure(args, primary)
+    rate, batch, gfi, hbm = _measure(args, primary)
     model_name = {"b16": "ViT-B/16", "l14": "ViT-L/14"}.get(primary, "ViT-B/32")
     out = {
         "metric": f"{args.method} {model_name} train throughput (batch {batch}, {args.dtype})",
@@ -242,15 +252,16 @@ def _main():
         "baseline_basis": BASELINE_BASIS,
         "gflop_per_img": round(gfi, 2),
         "mfu": round(_mfu(rate, gfi), 3),
+        **hbm,
     }
     if args.model == "both":
-        rate16, _, gfi16 = _measure(args, "b16")
+        rate16, _, gfi16, _hbm16 = _measure(args, "b16")
         out["b16_value"] = round(rate16, 1)
         out["b16_vs_baseline"] = round(rate16 / A6000_BASELINE_IMGS_PER_SEC["b16"], 3)
         out["b16_gflop_per_img"] = round(gfi16, 2)
         out["b16_mfu"] = round(_mfu(rate16, gfi16), 3)
         try:  # L/14 rides the default line too; never sink the bench on it
-            rate14, batch14, gfi14 = _measure(args, "l14")
+            rate14, batch14, gfi14, _hbm14 = _measure(args, "l14")
             out["l14_value"] = round(rate14, 1)
             out["l14_batch"] = batch14
             out["l14_vs_baseline"] = round(rate14 / A6000_BASELINE_IMGS_PER_SEC["l14"], 3)
