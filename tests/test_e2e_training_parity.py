@@ -236,3 +236,126 @@ def test_full_training_run_matches_reference_stack(tmp_path, method, builder):
         np.asarray(ours_logits), ref_logits, rtol=2e-3, atol=5e-4,
         err_msg="post-training eval logits diverge from the reference stack",
     )
+
+
+@pytest.mark.slow
+def test_full_finetune_whole_run_matches_reference_stack():
+    """full_model_finetune semantics, whole run: the VISUAL tower trains
+    (text/logit_scale frozen — full_model_finetune.py:85-99), the
+    Classifier forward multiplies by logit_scale.exp() (:156, here
+    LOGIT_SCALE_INIT='clip' so the multiply actually bites), and global
+    grad-norm clipping applies (:327-328, max_norm small enough to be
+    ACTIVE every step).
+
+    The reference backbone is model.py's VisionTransformer with every
+    KAdaptation addition zeroed AND excluded from the optimizer: the
+    identity-at-init quirk makes that bit-equal to the plain pip-clip ViT
+    the reference's get_model builds (the pip `clip` package is absent
+    offline), while the trainable set matches pip-clip's visual params
+    exactly."""
+    from tests.test_reference_torch_parity import (
+        HEADS, LAYERS, PATCH, W, _load_ref, _visual_params,
+    )
+
+    ref = _load_ref("model")
+    torch.manual_seed(3)
+    vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
+    kad = lambda n: ("adapter" in n) or ("phm_rule" in n) or ("attn.b" in n)
+    with torch.no_grad():
+        for n, p in vt.named_parameters():
+            if kad(n):
+                p.zero_()
+                p.requires_grad = False
+    for blk in vt.transformer.resblocks:
+        blk.attn.kdropout.p = 0.0  # dropout on an all-zero H is inert anyway
+
+    params = _visual_params(vt, LAYERS)
+
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.DATASET.NUM_CLASSES = K
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = B
+    cfg.TRAIN.IMAGE_SIZE = [RES, RES]
+    cfg.TRAIN.LOGIT_SCALE_INIT = "clip"   # exp(ln(1/0.07)) ~ 14.3x on logits
+    cfg.TRAIN.CLIP_GRAD_NORM = 0.05       # small enough to clip EVERY step
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+
+    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method="full_finetune"))
+    assert static.clip_grad_norm == 0.05
+    task = TrainTask(cfg, static, params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
+    assert "visual" in trainable["clip"], "full_finetune must train the visual tower"
+
+    rng = np.random.default_rng(13)
+    images_u8 = rng.integers(0, 255, (N, RES, RES, 3), dtype=np.uint8)
+    labels = rng.integers(0, K, (N,)).astype(np.int64)
+
+    lr = 0.003  # logit-scale-amplified gradients: keep the trajectory sane
+    fit = jax.jit(build_fit_fn(static, N, EPOCHS, task.preproc))
+    opt_init, _ = make_optimizer("sgd")
+    state = (trainable, opt_init(trainable), bn_state, jax.random.PRNGKey(2))
+    lr_table = jnp.full((EPOCHS,), lr, jnp.float32)
+    state = fit(
+        frozen, jnp.asarray(images_u8), jnp.asarray(labels.astype(np.int32)),
+        state, lr_table, jnp.float32(WD),
+    )
+    trained = state[0]
+
+    # ---- reference side: eager torch, identical everything --------------
+    mean = np.asarray(task.preproc["mean"], np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(task.preproc["std"], np.float32).reshape(1, 3, 1, 1)
+    x_all = torch.from_numpy(
+        (images_u8.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
+    )
+    x_all = (x_all - torch.from_numpy(mean)) / torch.from_numpy(std)
+    y_all = torch.from_numpy(labels)
+
+    bn = torch.nn.BatchNorm1d(OUT, affine=False)
+    lin = torch.nn.Linear(OUT, K)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["bias"])))
+    # TRAINABLE_LOGIT_SCALE=False -> logit_scale sits in the FROZEN partition
+    logit_scale = float(np.exp(np.asarray(frozen["head"]["logit_scale"])))
+    assert abs(logit_scale - 1 / 0.07) < 1e-3
+
+    vt.train()
+    bn.train()
+    train_params = [p for _, p in vt.named_parameters() if p.requires_grad]
+    train_params += list(lin.parameters())
+    opt = torch.optim.SGD(
+        train_params, lr=lr, momentum=static.momentum,
+        weight_decay=WD, nesterov=static.nesterov,
+    )
+    ce = torch.nn.CrossEntropyLoss()
+
+    for perm in _trainer_perms(jax.random.PRNGKey(2), N, EPOCHS):
+        for s in range(0, N, B):
+            idx = perm[s : s + B]
+            opt.zero_grad()
+            logits = logit_scale * lin(bn(vt(x_all[idx])))
+            ce(logits, y_all[idx]).backward()
+            torch.nn.utils.clip_grad_norm_(train_params, 0.05)
+            opt.step()
+
+    # ---- compare the trained state across the whole tree ----------------
+    ref_after = _visual_params(vt, LAYERS)["visual"]
+    ours_after = trained["clip"]["visual"]
+    for what, ours, refv in [
+        ("patch_embed kernel", ours_after["patch_embed"]["kernel"], ref_after["patch_embed"]["kernel"]),
+        ("class_embedding", ours_after["class_embedding"], ref_after["class_embedding"]),
+        ("block in_proj kernel", ours_after["blocks"]["attn"]["in_proj"]["kernel"], ref_after["blocks"]["attn"]["in_proj"]["kernel"]),
+        ("block mlp c_fc kernel", ours_after["blocks"]["mlp"]["c_fc"]["kernel"], ref_after["blocks"]["mlp"]["c_fc"]["kernel"]),
+        ("ln_post scale", ours_after["ln_post"]["scale"], ref_after["ln_post"]["scale"]),
+        ("visual proj", ours_after["proj"], ref_after["proj"]),
+        ("head kernel", trained["head"]["linear"]["kernel"], np.asarray(lin.weight.detach().numpy().T)),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(refv), rtol=2e-3, atol=2e-4,
+            err_msg=f"full_finetune trained {what} diverges from the reference stack",
+        )
+    # the zeroed reference-only params stayed zero (excluded from the opt)
+    for n, p in vt.named_parameters():
+        if kad(n):
+            assert not p.detach().abs().max().item(), f"{n} moved"
