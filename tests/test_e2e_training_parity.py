@@ -239,9 +239,12 @@ def test_full_training_run_matches_reference_stack(tmp_path, method, builder):
 
 
 @pytest.mark.slow
-def test_full_finetune_whole_run_matches_reference_stack():
+@pytest.mark.parametrize("method", ["full_finetune", "linear_probe"])
+def test_full_finetune_whole_run_matches_reference_stack(method):
     """full_model_finetune semantics, whole run: the VISUAL tower trains
-    (text/logit_scale frozen — full_model_finetune.py:85-99), the
+    (text/logit_scale frozen — full_model_finetune.py:85-99; for the
+    linear-probe flavor TRAIN.FREEZE_IMAGE_BACKBONE freezes it all,
+    :88-99, and only BN+Linear train), the
     Classifier forward multiplies by logit_scale.exp() (:156, here
     LOGIT_SCALE_INIT='clip' so the multiply actually bites), and global
     grad-norm clipping applies (:327-328, max_norm small enough to be
@@ -268,6 +271,9 @@ def test_full_finetune_whole_run_matches_reference_stack():
                 p.requires_grad = False
     for blk in vt.transformer.resblocks:
         blk.attn.kdropout.p = 0.0  # dropout on an all-zero H is inert anyway
+    if method == "linear_probe":
+        for p_ in vt.parameters():  # FREEZE_IMAGE_BACKBONE: the whole tower
+            p_.requires_grad = False
 
     params = _visual_params(vt, LAYERS)
 
@@ -281,11 +287,15 @@ def test_full_finetune_whole_run_matches_reference_stack():
     cfg.TPU.COMPUTE_DTYPE = "float32"
     cfg.freeze()
 
-    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method="full_finetune"))
+    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method=method))
     assert static.clip_grad_norm == 0.05
     task = TrainTask(cfg, static, params)
     trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
-    assert "visual" in trainable["clip"], "full_finetune must train the visual tower"
+    if method == "full_finetune":
+        assert "visual" in trainable["clip"], "full_finetune must train the visual tower"
+    else:  # partition keeps structure with None leaves: none may be live
+        assert not jax.tree.leaves(trainable.get("clip")), \
+            "linear_probe must freeze the tower"
 
     rng = np.random.default_rng(13)
     images_u8 = rng.integers(0, 255, (N, RES, RES, 3), dtype=np.uint8)
@@ -341,7 +351,7 @@ def test_full_finetune_whole_run_matches_reference_stack():
 
     # ---- compare the trained state across the whole tree ----------------
     ref_after = _visual_params(vt, LAYERS)["visual"]
-    ours_after = trained["clip"]["visual"]
+    ours_after = (trained if method == "full_finetune" else frozen)["clip"]["visual"]
     for what, ours, refv in [
         ("patch_embed kernel", ours_after["patch_embed"]["kernel"], ref_after["patch_embed"]["kernel"]),
         ("class_embedding", ours_after["class_embedding"], ref_after["class_embedding"]),
