@@ -98,12 +98,11 @@ class StreamingEpochRunner:
             idx = perm[i * B : (i + 1) * B]
             imgs = images_np[idx]
             labs = labels_np[idx]
+            # The tail batch ships at its NATURAL size — padding + masking is
+            # not reference-equivalent (the PEFT scramble quirk mixes batch
+            # rows; see build_epoch_fn).  The jit retraces once for the tail
+            # shape: one extra compile per distinct dataset size.
             mask = np.ones(len(idx), np.float32)
-            if len(idx) < B:  # pad to static shape
-                pad = B - len(idx)
-                imgs = np.concatenate([imgs, np.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
-                labs = np.concatenate([labs, np.zeros((pad, *labs.shape[1:]), labs.dtype)])
-                mask = np.concatenate([mask, np.zeros(pad, np.float32)])
             return (
                 # per-batch device-side prepack keeps streaming numerics
                 # identical to the preloaded fast path (same folded GEMM)

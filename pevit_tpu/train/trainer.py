@@ -8,9 +8,12 @@ math:
   (few-shot) train split lives on device as uint8, normalisation is fused
   into the forward pass, and batches are gathered from a per-epoch
   ``jax.random.permutation`` — no host<->device ping-pong in the hot loop.
-* Partial final batches are masked, reproducing the reference's semantics:
-  CE/BCE means run over real elements only, masked BatchNorm statistics, and
-  size-1 batches are skipped entirely (kadaptation_clip.py:342).
+* Partial final batches run at their NATURAL size as a separately-traced
+  step (r4 fix): padding + masking is not reference-equivalent because the
+  PEFT towers' raw-reshape scramble mixes batch rows (measured O(1) logit
+  deltas), so tail batches get the same small-batch CE/BCE means and
+  BatchNorm statistics torch computes; size-1 batches are skipped entirely
+  (kadaptation_clip.py:342, full_model_finetune.py:311).
 * A batch of hyperparameter trials trains SIMULTANEOUSLY via ``vmap`` over
   (trainable params, optimiser state, bn state, rng, lr, wd) with the frozen
   backbone broadcast — the reference's ~90 sequential sweep trainings per
@@ -319,7 +322,6 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
     splits take the streaming path, which shards each transferred batch).
     """
     B = static.batch_size
-    steps = max(1, math.ceil(n_train / B))
     _, opt_update = make_optimizer(
         static.optimizer,
         momentum=static.momentum,
@@ -342,17 +344,17 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
         rng, perm_rng, drop_rng = jax.random.split(rng, 3)
         perm = jax.random.permutation(perm_rng, n_train)
 
-        def step(i, carry):
+        def run_step(carry, idx, step_i, bsz):
             trainable, opt_state, bn_state = carry
-            pos = i * B + jnp.arange(B)
-            valid = (pos < n_train).astype(jnp.float32)
-            idx = perm[jnp.minimum(pos, n_train - 1)]
             imgs = jnp.take(images, idx, axis=0)
             labs = jnp.take(labels, idx, axis=0)
-            if batch_sharding is not None:
+            if batch_sharding is not None and bsz == B:
+                # the natural tail keeps its own (replicated) layout: an
+                # uneven remainder generally doesn't divide the mesh axis
                 imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
                 labs = jax.lax.with_sharding_constraint(labs, batch_sharding)
-            step_rng = jax.random.fold_in(drop_rng, i)
+            step_rng = jax.random.fold_in(drop_rng, step_i)
+            valid = jnp.ones((bsz,), jnp.float32)
             (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 trainable, frozen, bn_state, imgs, labs, valid, step_rng
             )
@@ -361,14 +363,19 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
             new_trainable, new_opt = opt_update(grads, trainable, opt_state, lr, wd)
             return new_trainable, new_opt, new_bn
 
-        # The reference skips size-1 batches (kadaptation_clip.py:342).  The
-        # tail-batch size is STATIC (n_train, B are Python ints), so the skip
-        # resolves at trace time to one fewer step — no lax.cond wrapping the
-        # whole fwd+bwd (a cond branch is an XLA fusion barrier across every
-        # step boundary).  Partial tails of size >1 train normally with the
-        # ``valid`` mask (loss mean, BN stats, metrics all mask-aware).
-        tail = n_train - (steps - 1) * B
-        steps_eff = steps - 1 if tail == 1 else steps
+        def step(i, carry):
+            return run_step(carry, perm[i * B + jnp.arange(B)], i, B)
+
+        # Tail batches run at their NATURAL size as a separately-traced step
+        # (shape still static: n_train and B are Python ints).  Padding +
+        # masking is NOT reference-equivalent here: the PEFT towers'
+        # raw-reshape scramble (quirk #4, lora_model.py:724-733) mixes batch
+        # and token axes, so a padded row changes the REAL rows' outputs —
+        # measured O(1) logit deltas vs the natural-size batch.  The
+        # reference skips only size-1 tails (full_model_finetune.py:311);
+        # both resolve at trace time, no lax.cond on the hot path.
+        steps_full = n_train // B
+        tail = n_train - steps_full * B
         carry0 = (trainable, opt_state, bn_state)
         if static.step_unroll > 1:
             # scan(unroll=k): k step bodies per loop iteration lets XLA fuse
@@ -376,11 +383,16 @@ def build_epoch_fn(static: TaskStatic, n_train: int, preproc: dict, lr_scales=No
             def scan_body(carry, i):
                 return step(i, carry), None
 
-            (trainable, opt_state, bn_state), _ = jax.lax.scan(
-                scan_body, carry0, jnp.arange(steps_eff), unroll=static.step_unroll
+            carry0, _ = jax.lax.scan(
+                scan_body, carry0, jnp.arange(steps_full), unroll=static.step_unroll
             )
         else:
-            trainable, opt_state, bn_state = jax.lax.fori_loop(0, steps_eff, step, carry0)
+            carry0 = jax.lax.fori_loop(0, steps_full, step, carry0)
+        if tail > 1:
+            carry0 = run_step(
+                carry0, perm[steps_full * B + jnp.arange(tail)], steps_full, tail
+            )
+        trainable, opt_state, bn_state = carry0
         return trainable, opt_state, bn_state, rng
 
     return epoch
@@ -428,7 +440,7 @@ def build_fit_eval_fn(
     preproc: dict,
     *,
     eval_chunk: int,
-    n_val_chunks: int,
+    n_val: int,
     lr_scales=None,
     forward_fn=None,
     wd_mask=None,
@@ -443,14 +455,18 @@ def build_fit_eval_fn(
     validation logits (n_epochs, n_val, C) for host-side metric selection —
     one dispatch per (vmapped) trial batch for an entire training run.
 
-    ``val_images`` must arrive padded to ``n_val_chunks * eval_chunk``.
+    ``val_images`` arrives at its NATURAL size ``n_val``; full chunks of
+    ``eval_chunk`` run under ``lax.map`` and the remainder runs as a
+    separately-traced natural-size chunk.  No padding: the PEFT towers'
+    raw-reshape scramble mixes batch rows, so zero-padding a chunk would
+    change the REAL rows' logits (same r4 finding as the train tail).
     """
     epoch = build_epoch_fn(static, n_train, preproc, lr_scales, forward_fn, wd_mask, batch_sharding)
 
     def fit_eval(frozen, images, labels, val_images, state, lr_table, wd):
         def eval_all(trainable, bn_state):
-            def one_chunk(imgs):
-                if batch_sharding is not None:
+            def one_chunk(imgs, shard=True):
+                if batch_sharding is not None and shard:
                     imgs = jax.lax.with_sharding_constraint(imgs, batch_sharding)
                 bundle = combine(trainable, frozen)
                 logits, _ = model_forward(
@@ -459,12 +475,21 @@ def build_fit_eval_fn(
                 )
                 return logits.astype(jnp.float32)
 
-            chunks = val_images.reshape(
-                n_val_chunks, eval_chunk, *val_images.shape[1:]
-            )
-            return jax.lax.map(one_chunk, chunks).reshape(
-                n_val_chunks * eval_chunk, static.num_classes
-            )
+            n_full = n_val // eval_chunk
+            tail = n_val - n_full * eval_chunk
+            outs = []
+            if n_full:
+                chunks = val_images[: n_full * eval_chunk].reshape(
+                    n_full, eval_chunk, *val_images.shape[1:]
+                )
+                outs.append(
+                    jax.lax.map(one_chunk, chunks).reshape(
+                        n_full * eval_chunk, static.num_classes
+                    )
+                )
+            if tail:  # natural-size remainder (replicated: it rarely divides the mesh)
+                outs.append(one_chunk(val_images[n_full * eval_chunk :], shard=False))
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
         def body(state, lr_e):
             if static.emulate_zero_shot:
@@ -475,7 +500,7 @@ def build_fit_eval_fn(
             return new_state, logits
 
         state, logits_all = jax.lax.scan(body, state, lr_table)
-        return state, logits_all  # logits_all: (n_epochs, n_val_padded, C)
+        return state, logits_all  # logits_all: (n_epochs, n_val, C)
 
     return fit_eval
 
@@ -499,7 +524,11 @@ class TrainTask:
         clip_params: dict,
         *,
         text_init_weights: Optional[np.ndarray] = None,
-        eval_chunk: int = 512,
+        # 64 = the reference's val/test dataloader batch (feature.py:76,101):
+        # eval CHUNKING is semantics, not just throughput — the PEFT
+        # scramble quirk makes logits depend on batch composition, so
+        # reference-exact accuracy needs reference-exact eval batching
+        eval_chunk: int = 64,
         backbone=None,
     ):
         self.config = config
@@ -778,8 +807,8 @@ class TrainTask:
             self._epoch_cache[key] = jax.jit(batched, donate_argnums=(3,))
         return self._epoch_cache[key]
 
-    def _fit_eval_fn(self, n_train: int, n_epochs: int, n_val_chunks: int, n_trials: int, batch_sharding=None, peft_axis=None):
-        key = (n_train, n_epochs, n_val_chunks, n_trials, batch_sharding, peft_axis)
+    def _fit_eval_fn(self, n_train: int, n_epochs: int, n_val: int, n_trials: int, batch_sharding=None, peft_axis=None):
+        key = (n_train, n_epochs, n_val, self.eval_chunk, n_trials, batch_sharding, peft_axis)
         if key not in self._epoch_cache:
             fe = build_fit_eval_fn(
                 self.static,
@@ -787,7 +816,7 @@ class TrainTask:
                 n_epochs,
                 self.preproc,
                 eval_chunk=self.eval_chunk,
-                n_val_chunks=n_val_chunks,
+                n_val=n_val,
                 lr_scales=self._lr_scales(),
                 forward_fn=self._forward_fn,
                 wd_mask=self._wd_mask(),
@@ -831,14 +860,12 @@ class TrainTask:
         chunks = []
         for s in range(0, n, self.eval_chunk):
             e = min(s + self.eval_chunk, n)
-            imgs = images_u8[s:e]
-            if e - s < self.eval_chunk:  # pad to static shape
-                pad = self.eval_chunk - (e - s)
-                imgs = jnp.concatenate([imgs, jnp.zeros((pad, *imgs.shape[1:]), imgs.dtype)])
-            # per-chunk prepack: host-resident test splits stream chunk-wise,
-            # never materialising a packed copy of the whole split on device
-            imgs = self.prepack(imgs)
-            chunks.append(np.asarray(ev(frozen, trainable_stack, bn_stack, imgs))[:, : e - s])
+            # NATURAL-size chunks (the tail retraces once): zero-padding a
+            # chunk changes real rows' logits under the PEFT scramble quirk
+            # — see build_fit_eval_fn.  Per-chunk prepack keeps host-resident
+            # test splits streaming without a packed device copy.
+            imgs = self.prepack(images_u8[s:e])
+            chunks.append(np.asarray(ev(frozen, trainable_stack, bn_stack, imgs)))
         logits = np.concatenate(chunks, axis=1)  # (T, n, C)
         labels_np = np.asarray(labels)
         scores, probs_all = [], []
@@ -987,18 +1014,9 @@ class TrainTask:
             train_labels = jnp.asarray(train_labels)
         val_images = self.prepack(val_images)
 
-        # pad the val split to a whole number of eval chunks (masked on host)
+        # val split ships at its NATURAL size: full eval chunks + a natural
+        # remainder (no padding — see build_fit_eval_fn's scramble note)
         n_val = int(val_labels.shape[0])
-        chunk = min(self.eval_chunk, max(8, n_val))
-        n_chunks = max(1, math.ceil(n_val / chunk))
-        pad = n_chunks * chunk - n_val
-        val_padded = (
-            jnp.concatenate(
-                [val_images, jnp.zeros((pad, *val_images.shape[1:]), val_images.dtype)]
-            )
-            if pad
-            else val_images
-        )
 
         schedule = list(self.config.TRAIN.SCHEDULE or [])
         lr_tables = jnp.asarray(
@@ -1052,7 +1070,7 @@ class TrainTask:
             }
             train_images = jax.device_put(train_images, repl)
             train_labels = jax.device_put(train_labels, repl)
-            val_padded = jax.device_put(val_padded, repl)
+            val_images = jax.device_put(val_images, repl)
             logging.info(
                 "device mesh: %d trials over (trial=%d, data=%d) of %d devices",
                 T, n_t, n_d, len(jax.devices()),
@@ -1061,17 +1079,12 @@ class TrainTask:
         # the ENTIRE (train -> per-epoch eval) ladder for all trials runs as
         # one device dispatch; metric/selection happens on host afterwards
         # with reference semantics (strict >, best-epoch logits)
-        saved_chunk = self.eval_chunk
-        self.eval_chunk = chunk
-        try:
-            fit_eval = self._fit_eval_fn(n_train, n_epochs, n_chunks, T, batch_sharding, peft_axis)
-        finally:
-            self.eval_chunk = saved_chunk
+        fit_eval = self._fit_eval_fn(n_train, n_epochs, n_val, T, batch_sharding, peft_axis)
         t0 = time.time()
         state, logits_all = fit_eval(
-            frozen, train_images, train_labels, val_padded, state, lr_tables, jnp.asarray(wds)
+            frozen, train_images, train_labels, val_images, state, lr_tables, jnp.asarray(wds)
         )
-        logits_np = np.asarray(logits_all)[:, :, :n_val]  # (T, E, n_val, C)
+        logits_np = np.asarray(logits_all)  # (T, E, n_val, C)
         labels_np = np.asarray(val_labels)
         run_s = time.time() - t0
 

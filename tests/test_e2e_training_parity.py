@@ -369,3 +369,91 @@ def test_full_finetune_whole_run_matches_reference_stack(method):
     for n, p in vt.named_parameters():
         if kad(n):
             assert not p.detach().abs().max().item(), f"{n} moved"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("multilabel", [False, True])
+def test_partial_batch_whole_run_parity(multilabel):
+    """The MASKED tail-batch path gets golden coverage: N=12 with B=8 makes
+    every epoch end in a 4-example batch, so the masked CE/BCE mean and the
+    masked BatchNorm statistics (trainer._loss / the masked BN update) must
+    reproduce torch's natural small-batch semantics (the reference keeps any
+    tail batch larger than 1 — full_model_finetune.py:311).  The multilabel
+    arm runs the BCEWithLogitsLoss path (kadaptation_clip.py:273-274) on
+    multi-hot targets.  LoRA keeps the run deterministic."""
+    n_part = 12
+    vt, params, peft = _build_lora()
+
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.DATASET.NUM_CLASSES = K
+    if multilabel:
+        cfg.DATASET.DATASET = "voc-2007-classification"  # flips static.multilabel
+        cfg.TEST.METRIC = "11point_mAP"
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = B
+    cfg.TRAIN.IMAGE_SIZE = [RES, RES]
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+
+    static = TaskStatic.from_config(cfg, SPEC, PeftConfig(method="lora"))
+    assert static.multilabel == multilabel
+    task = TrainTask(cfg, static, params)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
+    trainable["peft"]["layers"] = peft["layers"]
+
+    rng = np.random.default_rng(17)
+    images_u8 = rng.integers(0, 255, (n_part, RES, RES, 3), dtype=np.uint8)
+    if multilabel:
+        labels_np = (rng.random((n_part, K)) < 0.4).astype(np.float32)
+        labels_np[:, 0] = 1.0  # no all-zero rows
+        labels_dev = jnp.asarray(labels_np)
+    else:
+        labels_np = rng.integers(0, K, (n_part,)).astype(np.int64)
+        labels_dev = jnp.asarray(labels_np.astype(np.int32))
+
+    fit = jax.jit(build_fit_fn(static, n_part, EPOCHS, task.preproc))
+    opt_init, _ = make_optimizer("sgd")
+    state = (trainable, opt_init(trainable), bn_state, jax.random.PRNGKey(2))
+    lr_table = jnp.full((EPOCHS,), LR, jnp.float32)
+    state = fit(frozen, jnp.asarray(images_u8), labels_dev, state, lr_table, jnp.float32(WD))
+    trained = state[0]
+
+    # ---- torch side: natural small tail batches --------------------------
+    mean = np.asarray(task.preproc["mean"], np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(task.preproc["std"], np.float32).reshape(1, 3, 1, 1)
+    x_all = torch.from_numpy(
+        (images_u8.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
+    )
+    x_all = (x_all - torch.from_numpy(mean)) / torch.from_numpy(std)
+    y_all = torch.from_numpy(labels_np)
+
+    bn = torch.nn.BatchNorm1d(OUT, affine=False)
+    lin = torch.nn.Linear(OUT, K)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["bias"])))
+
+    vt.train()
+    bn.train()
+    train_params = _torch_trainable("lora", vt) + list(lin.parameters())
+    opt = torch.optim.SGD(train_params, lr=LR, momentum=static.momentum,
+                          weight_decay=WD, nesterov=static.nesterov)
+    crit = torch.nn.BCEWithLogitsLoss() if multilabel else torch.nn.CrossEntropyLoss()
+
+    for perm in _trainer_perms(jax.random.PRNGKey(2), n_part, EPOCHS):
+        for s in range(0, n_part, B):
+            idx = perm[s : s + B]  # last batch has 4 rows
+            opt.zero_grad()
+            logits = lin(bn(vt(x_all[idx])))
+            crit(logits, y_all[idx]).backward()
+            opt.step()
+
+    a0 = vt.transformer.resblocks[0].attn
+    for what, ours, refv in [
+        ("head kernel", trained["head"]["linear"]["kernel"], lin.weight.detach().numpy().T),
+        ("lora q_b", trained["peft"]["layers"]["q_b"][0], a0.q_proj_adapter2.weight.detach().numpy().T),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(refv), rtol=2e-3, atol=2e-4,
+            err_msg=f"partial-batch {what} diverges (multilabel={multilabel})",
+        )
