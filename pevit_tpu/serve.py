@@ -194,7 +194,15 @@ class InferencePipeline:
       overlap them.
 
     This driver packs requests into power-of-two BUCKETS (bounded compile
-    count; ragged tails zero-padded, logits sliced back) and keeps
+    count; ragged tails zero-padded, logits sliced back — NOTE: for PEFT
+    towers carrying the reference's raw-reshape scramble the forward is
+    batch-composition-sensitive, so a padded tail's logits can differ
+    slightly from a natural-size evaluation of the same rows.  Responses
+    are bucket-deterministic (same rows + same bucket => same logits);
+    TRAINING/eval paths run natural-size tails (trainer.py r4 note) and
+    the published accuracies were themselves measured under the
+    reference's batch-64 eval, so this is an inherited property of the
+    model family, not a serving bug) and keeps
     ``depth`` batches in flight so batch i+1's host->device transfer is
     enqueued while batch i computes: sustained throughput approaches
     ``max(transfer, compute)`` instead of their sum.  The reference has no
