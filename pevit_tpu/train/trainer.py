@@ -524,15 +524,20 @@ class TrainTask:
         clip_params: dict,
         *,
         text_init_weights: Optional[np.ndarray] = None,
-        # 64 = the reference's val/test dataloader batch (feature.py:76,101):
-        # eval CHUNKING is semantics, not just throughput — the PEFT
-        # scramble quirk makes logits depend on batch composition, so
-        # reference-exact accuracy needs reference-exact eval batching
-        eval_chunk: int = 64,
+        # None = method-dependent default.  For lora/kadaptation the
+        # raw-reshape scramble makes logits depend on batch COMPOSITION
+        # (measured: lora 2.19 / kadapt 3e-3 max row delta, batch 8 vs 4),
+        # so eval chunking is semantics and must match the reference's
+        # val/test dataloader batch of 64 (feature.py:76,101).  The
+        # adapter/compacter/probe/finetune towers are row-independent
+        # (measured exactly 0.0 delta), so they keep the fast 512 chunks.
+        eval_chunk: Optional[int] = None,
         backbone=None,
     ):
         self.config = config
         self.static = static
+        if eval_chunk is None:
+            eval_chunk = 64 if static.peft_cfg.method in ("lora", "kadaptation") else 512
         self.backbone = backbone  # models.factory.Backbone for non-CLIP towers
         if backbone is not None:
             clip_params = backbone.params
