@@ -158,6 +158,8 @@ def extract_text_features(
         batch = tokens[s : s + chunk]
         pad = 0
         if len(batch) < chunk and s > 0:  # keep one static shape for big runs
+            # padding is SAFE here: the plain text tower has no PEFT
+            # raw-reshape scramble, so rows are exactly independent
             pad = chunk - len(batch)
             batch = np.concatenate([batch, np.zeros((pad, context_length), np.int32)])
         out = np.asarray(enc(text_params, jnp.asarray(batch)), np.float32)

@@ -35,6 +35,9 @@ def extract_image_features(
         e = min(s + chunk, n)
         batch = np.asarray(images_u8[s:e])
         if e - s < chunk:
+            # padding is SAFE here (unlike the PEFT eval paths): the plain
+            # CLIP tower has no raw-reshape scramble, so rows are exactly
+            # independent — a padded row cannot perturb real rows' features
             batch = np.concatenate([batch, np.zeros((chunk - (e - s), *batch.shape[1:]), batch.dtype)])
         out = np.asarray(enc(clip_params, jnp.asarray(batch)), np.float32)
         feats.append(out[: e - s])
