@@ -184,13 +184,20 @@ def test_single_trial_final_run_batch_dp():
     batch to it, so the 50-epoch final run — the wall-clock-dominant block —
     uses the whole mesh.  DP result == unsharded result to fp32
     reduction-order tolerance (partitioned batch sums re-associate adds,
-    so bitwise equality is impossible by construction)."""
+    so bitwise equality is impossible by construction).
+
+    Sizes deliberately DON'T divide the batch/chunk: n_train=44 = 2x16 + a
+    natural tail step of 12, n_val=17 = one chunk of 16 + a natural eval
+    tail of 1 — the r4 natural-size tails run REPLICATED (they rarely
+    divide the mesh axis, trainer.run_step/eval_all), and this pins that
+    the mixed sharded-full-steps + replicated-tail program still equals
+    the unsharded run."""
     cfg, static, task = _setup("kadaptation")
 
     rng = np.random.default_rng(5)
-    tx = rng.integers(0, 255, (48, 32, 32, 3), dtype=np.uint8)
-    ty = rng.integers(0, 4, (48,)).astype(np.int32)
-    vx, vy = jnp.asarray(tx[:16]), jnp.asarray(ty[:16])
+    tx = rng.integers(0, 255, (44, 32, 32, 3), dtype=np.uint8)
+    ty = rng.integers(0, 4, (44,)).astype(np.int32)
+    vx, vy = jnp.asarray(tx[:17]), jnp.asarray(ty[:17])
 
     def run(mesh_data):
         cfg.TPU.MESH_DATA = mesh_data
