@@ -202,7 +202,9 @@ class InferencePipeline:
     TRAINING/eval paths run natural-size tails (trainer.py r4 note) and
     the published accuracies were themselves measured under the
     reference's batch-64 eval, so this is an inherited property of the
-    model family, not a serving bug) and keeps
+    model family, not a serving bug; ``pad_policy="exact"`` opts out of
+    padding for training-equal numerics at the price of one compile per
+    distinct request size) and keeps
     ``depth`` batches in flight so batch i+1's host->device transfer is
     enqueued while batch i computes: sustained throughput approaches
     ``max(transfer, compute)`` instead of their sum.  The reference has no
@@ -216,11 +218,13 @@ class InferencePipeline:
     """
 
     def __init__(self, call_fn, *, max_batch: int = 256, min_bucket: int = 8,
-                 depth: int = 2, place_fn=None):
+                 depth: int = 2, place_fn=None, pad_policy: str = "bucket"):
         if depth < 1:
             raise ValueError(f"depth must be >= 1, got {depth}")
         if min_bucket < 1 or max_batch < min_bucket:
             raise ValueError(f"need 1 <= min_bucket <= max_batch, got {min_bucket}, {max_batch}")
+        if pad_policy not in ("bucket", "exact"):
+            raise ValueError(f"pad_policy must be 'bucket' or 'exact', got {pad_policy!r}")
         self._fn = call_fn
         # ``place_fn`` maps a padded host chunk onto the device(s); default
         # single-device transfer.  For a mesh-exported artifact pass e.g.
@@ -231,9 +235,21 @@ class InferencePipeline:
         self.max_batch = int(max_batch)
         self.min_bucket = int(min_bucket)
         self.depth = int(depth)
+        # "bucket" (default): pad ragged tails up to a power-of-two bucket —
+        # bounded compile count, bucket-deterministic logits (see class
+        # docstring).  "exact": never pad; every chunk runs at its NATURAL
+        # size, so composition-sensitive PEFT towers produce logits equal to
+        # the trainer's natural-size eval of the same rows.  The cost is one
+        # compile per DISTINCT request size — use it for offline batch
+        # scoring with fixed/few sizes, not for adversarial public traffic.
+        # With a mesh ``place_fn``, natural sizes must still divide the data
+        # axis (the caller controls request sizes in the exact use case).
+        self.pad_policy = pad_policy
         self.stats = {"images": 0, "batches": 0, "seconds": 0.0}
 
     def _bucket(self, n: int) -> int:
+        if self.pad_policy == "exact":
+            return n
         b = self.min_bucket
         while b < n:
             b *= 2

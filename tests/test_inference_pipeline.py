@@ -109,3 +109,40 @@ def test_validation():
         InferencePipeline(lambda x: x, depth=0)
     with pytest.raises(ValueError):
         InferencePipeline(lambda x: x, max_batch=4, min_bucket=8)
+    with pytest.raises(ValueError):
+        InferencePipeline(lambda x: x, pad_policy="pad")
+
+
+def test_exact_pad_policy_never_pads(served):
+    seen = []
+
+    def counting(x):
+        seen.append(x.shape[0])
+        return served(x)
+
+    pipe = InferencePipeline(counting, max_batch=8, min_bucket=4, pad_policy="exact")
+    sizes = [3, 17, 5, 1]
+    outs = pipe.run([_images(n) for n in sizes])
+    # chunks run at NATURAL size: 17 splits at max_batch into 8 + 8 + 1
+    assert seen == [3, 8, 8, 1, 5, 1]
+    assert [o.shape[0] for o in outs] == sizes
+
+
+def test_exact_pad_policy_is_composition_safe():
+    """A deliberately batch-composition-sensitive fn (subtracts the batch
+    mean — a stand-in for the PEFT raw-reshape scramble): bucket padding
+    perturbs the real rows' outputs, pad_policy='exact' reproduces the
+    natural-size evaluation bit-for-bit."""
+
+    def fn(x):
+        x = jnp.asarray(x, jnp.float32).reshape(x.shape[0], -1)[:, :4]
+        return x - x.mean(axis=0, keepdims=True)
+
+    imgs = np.asarray(_images(3))
+    direct = np.asarray(fn(imgs), np.float32)
+
+    padded = InferencePipeline(fn, max_batch=8, min_bucket=8)(imgs)
+    assert np.abs(padded - direct).max() > 1e-3  # zero-pad rows shift the mean
+
+    exact = InferencePipeline(fn, max_batch=8, min_bucket=8, pad_policy="exact")(imgs)
+    np.testing.assert_array_equal(exact, direct)

@@ -57,13 +57,13 @@ MAX_BODY = 1 << 30  # 1 GiB request cap
 def make_server(call_fn, image_size: int, *, host: str = "127.0.0.1",
                 port: int = 0, max_batch: int = 256, min_bucket: int = 8,
                 depth: int = 2, place_fn=None,
-                window_ms: float = 2.0) -> ThreadingHTTPServer:
+                window_ms: float = 2.0, pad_policy: str = "bucket") -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server around ``call_fn``."""
     from pevit_tpu.serve import InferencePipeline, MicroBatcher
 
     pipe = InferencePipeline(call_fn, max_batch=max_batch,
                              min_bucket=min_bucket, depth=depth,
-                             place_fn=place_fn)
+                             place_fn=place_fn, pad_policy=pad_policy)
     batcher = MicroBatcher(pipe, window_ms=window_ms)
 
     class Handler(BaseHTTPRequestHandler):
@@ -140,6 +140,10 @@ def main(argv=None):
     ap.add_argument("--max-batch", type=int, default=256)
     ap.add_argument("--min-bucket", type=int, default=8)
     ap.add_argument("--depth", type=int, default=2)
+    ap.add_argument("--pad-policy", choices=["bucket", "exact"], default="bucket",
+                    help="'exact' never pads ragged tails: training-equal numerics "
+                         "for composition-sensitive PEFT towers, one compile per "
+                         "distinct size (offline batch scoring, not public traffic)")
     ap.add_argument("--window-ms", type=float, default=2.0,
                     help="cross-request micro-batching window (0 disables waiting)")
     ap.add_argument("--seed", type=int, default=0)
@@ -167,7 +171,8 @@ def main(argv=None):
     )
     srv = make_server(call, image_size, host=args.host, port=args.port,
                       max_batch=args.max_batch, min_bucket=args.min_bucket,
-                      depth=args.depth, window_ms=args.window_ms)
+                      depth=args.depth, window_ms=args.window_ms,
+                      pad_policy=args.pad_policy)
     print(f"serving on http://{args.host}:{srv.server_address[1]} "
           f"(image_size={image_size}, max_batch={args.max_batch}, "
           f"depth={args.depth})", flush=True)
