@@ -16,7 +16,13 @@ reference has no retries and no training-state persistence).
 Safety model: the fingerprint covers the full config dump (minus pure-output
 paths), the split shapes/dtypes, all labels, and a strided pixel sample of
 the images — any change to method, model, data, precision, or sweep knobs
-changes the key and the stale file is simply not consulted.
+changes the key and the stale file is simply not consulted.  CODE-semantics
+changes are invisible to a config+data hash, so the fingerprint also salts
+in ``SEMANTICS_VERSION`` below: bump it whenever a trainer/eval change can
+alter the numbers a cached score or completed job recorded (otherwise an
+upgraded framework replays pre-upgrade numerics from old campaign caches —
+nearly happened with the r4 natural-tail rework, where invalidation only
+occurred incidentally because new config keys changed ``cfg.dump()``).
 """
 
 from __future__ import annotations
@@ -33,6 +39,15 @@ import numpy as np
 # and blanking them lets a re-run in a fresh output dir still hit the cache
 # when pointed at the same cache file.
 _VOLATILE_KEYS = (("OUTPUT_DIR",), ("TPU", "CHECKPOINT_DIR"), ("TPU", "SWEEP_CACHE_DIR"))
+
+# Training/eval SEMANTICS version: part of every sweep/job fingerprint.
+# Bump on any code change that can alter trial scores, best-epoch selection,
+# or final accuracies under an unchanged config + data (numerics, batch/tail
+# handling, eval chunking, loss/optimizer semantics).  History:
+#   2  r4: natural-size tail steps + natural eval chunks, method-aware
+#      eval_chunk default (batch-composition parity with the reference)
+#   1  r1-r3 (implicit)
+SEMANTICS_VERSION = 2
 
 
 def _sample_bytes(arr, max_rows: int = 64) -> bytes:
@@ -69,6 +84,7 @@ def sweep_fingerprint(config, data, end_epoch: int, seed: int) -> str:
             node = node[k]
         node[path[-1]] = ""
     h = hashlib.sha256()
+    h.update(f"semantics={SEMANTICS_VERSION};".encode())
     h.update(cfg.dump().encode())
     h.update(f"end_epoch={end_epoch};seed={seed};".encode())
     h.update(data_fingerprint(data).encode())

@@ -114,6 +114,21 @@ def test_fingerprint_invalidation():
     assert sweep_fingerprint(cfg3, data, end_epoch=10, seed=0) == base
 
 
+def test_fingerprint_sees_code_semantics(monkeypatch):
+    """A trainer-numerics code change (SEMANTICS_VERSION bump) must
+    invalidate every cached score/job even with identical config + data —
+    otherwise an upgraded framework silently replays pre-upgrade numbers
+    from old campaign caches."""
+    from pevit_tpu.train import sweep_cache as sc
+
+    cfg = get_default_config()
+    data = _data()
+    base = sweep_fingerprint(cfg, data, end_epoch=10, seed=0)
+    assert base == sweep_fingerprint(cfg, data, end_epoch=10, seed=0)  # stable
+    monkeypatch.setattr(sc, "SEMANTICS_VERSION", sc.SEMANTICS_VERSION + 1)
+    assert sweep_fingerprint(cfg, data, end_epoch=10, seed=0) != base
+
+
 def test_auto_and_empty_disable_cache():
     cfg = get_default_config()
     data = _data()
