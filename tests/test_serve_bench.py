@@ -42,6 +42,27 @@ def test_serve_bench_arms_agree_and_report(tmp_path):
 
 
 @pytest.mark.slow
+def test_serve_bench_request_mix_pad_policy_ab(tmp_path, capsys):
+    """--request-sizes adds the ragged-mix arms; bucket and exact policies
+    both route rows correctly (the fp32 ViT-B tower used here is
+    composition-insensitive, so the policies' logits agree bit-for-bit and
+    the tool prints a zero numerics delta)."""
+    ds, model = _write_cfgs(tmp_path)
+    tool = _load_tool()
+    results = tool.main([
+        "--model", model, "--ds", ds, "--batch", "8", "--images", "32",
+        "--reps", "1", "--depths", "2", "--request-sizes", "5,3,8",
+        "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
+        "TPU.COMPUTE_DTYPE", "float32", "TPU.USE_PALLAS_ATTENTION", "False",
+    ])
+    assert set(results) == {"naive", "pipe2", "mix-bucket", "mix-exact"}
+    for arm in ("mix-bucket", "mix-exact"):
+        assert all(r > 0 for r in results[arm]), (arm, results[arm])
+    head = capsys.readouterr().out
+    assert "pad-policy numerics: max|bucket - exact| = 0.000000" in head
+
+
+@pytest.mark.slow
 def test_serve_bench_daemon_arm(tmp_path):
     """--clients adds the end-to-end HTTP daemon arm (MicroBatcher over
     real sockets) and its logits agree with the direct arms."""

@@ -69,6 +69,12 @@ def main(argv=None):
                     help="images per HTTP request in the daemon arm")
     ap.add_argument("--window-ms", type=float, default=2.0,
                     help="daemon micro-batching window")
+    ap.add_argument("--request-sizes", default="",
+                    help="comma list of ragged request sizes: adds a mixed-size "
+                         "request-stream arm per --pad-policies entry "
+                         "(the pad_policy='exact' cost/benefit A/B)")
+    ap.add_argument("--pad-policies", default="bucket,exact",
+                    help="policies measured by the --request-sizes arm")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("opts", nargs=argparse.REMAINDER, help="KEY VALUE config overrides")
     args = ap.parse_args(argv)
@@ -169,13 +175,37 @@ def main(argv=None):
         print(f"#   daemon latency: {srv.batcher.latency_stats()}", flush=True)
         return out[: per_client * args.clients]
 
+    def run_mix(policy):
+        """Ragged request-size mix through the pipeline under one pad policy.
+
+        The pad_policy='exact' A/B: 'bucket' pads each ragged request up to
+        a power-of-two (bounded compiles), 'exact' runs every distinct size
+        natural (training-equal numerics, one compile per size).  Steady-state
+        throughput should match; the first exact rep pays the extra compiles.
+        """
+        depth = max((int(x) for x in args.depths.split(",") if x), default=2)
+        pipe = InferencePipeline(call, max_batch=args.batch, min_bucket=8,
+                                 depth=depth, pad_policy=policy)
+        reqs, off, i = [], 0, 0
+        while off < n:
+            s = min(mix_sizes[i % len(mix_sizes)], n - off)
+            reqs.append(stream[off:off + s])
+            off += s
+            i += 1
+        return np.concatenate(pipe.run(reqs))
+
     num_classes = int(np.asarray(w).shape[-1])
+    mix_sizes = [int(x) for x in args.request_sizes.split(",") if x]
     arms = [("naive", run_naive)]
     arms += [(f"pipe{d}", (lambda d=d: run_pipe(d)))
              for d in (int(x) for x in args.depths.split(",") if x)]
     if args.clients:
         arms.append((f"daemon{args.clients}", run_daemon))
+    if mix_sizes:
+        for pol in (p.strip() for p in args.pad_policies.split(",") if p.strip()):
+            arms.append((f"mix-{pol}", lambda pol=pol: run_mix(pol)))
     results = {name: [] for name, _ in arms}
+    last_out = {}
     ref = None
     for rep in range(args.reps):  # interleaved reps: relay drift hits all arms
         for name, fn in arms:
@@ -183,8 +213,26 @@ def main(argv=None):
             out = fn()
             dt = time.time() - t0
             results[name].append(len(out) / dt)
+            last_out[name] = out
             if ref is None:
                 ref = out
+            elif name.startswith("mix-"):
+                # mix arms repartition the stream into ragged requests, and
+                # bucket padding legitimately shifts composition-sensitive
+                # logits (the reason pad_policy='exact' exists) — so gate
+                # only against ROUTING bugs (swapped rows => argmax churn
+                # near 1/K and O(scale) diffs), and report the delta.
+                m = min(len(out), len(ref))
+                scale = float(np.abs(ref[:m]).max()) or 1.0
+                maxd = float(np.abs(out[:m] - ref[:m]).max())
+                agree = float((out[:m].argmax(1) == ref[:m].argmax(1)).mean())
+                if agree < 0.90 or maxd > 0.5 * scale:
+                    raise SystemExit(
+                        f"{name} rep{rep}: row routing broken vs first arm "
+                        f"(max|d|={maxd:.4f} at scale {scale:.2f}, "
+                        f"argmax agreement {agree:.4f})")
+                print(f"#   {name}: argmax agreement {agree:.4f}, "
+                      f"max|d| {maxd:.4f} vs batch arm", flush=True)
             else:
                 m = min(len(out), len(ref))  # daemon arm trims to clients*per_client
                 # Cross-arm equality must be SHAPE-ROBUST: the daemon's
@@ -205,12 +253,22 @@ def main(argv=None):
                         f"argmax agreement {agree:.4f})")
             print(f"# {name} rep{rep}: {len(out) / dt:.0f} img/s ({dt:.1f}s)", flush=True)
 
+    if "mix-bucket" in last_out and "mix-exact" in last_out:
+        # the numerics delta pad_policy='exact' removes: same rows, same
+        # request partition, padded vs natural sub-batches
+        d = float(np.abs(last_out["mix-bucket"] - last_out["mix-exact"]).max())
+        s = float(np.abs(last_out["mix-exact"]).max()) or 1.0
+        print(f"# pad-policy numerics: max|bucket - exact| = {d:.6f} "
+              f"(logit scale {s:.2f})", flush=True)
     for name, vals in results.items():
-        print(json.dumps({
+        out_rec = {
             "arm": name, "img_per_s_best": round(max(vals), 1),
             "img_per_s_all": [round(v, 1) for v in vals],
             "batch": args.batch, "images": n,
-        }), flush=True)
+        }
+        if name.startswith("mix-"):
+            out_rec["request_sizes"] = mix_sizes
+        print(json.dumps(out_rec), flush=True)
     return results
 
 
