@@ -49,6 +49,7 @@ def _swin_spec_from_cfg(mspec, default_spec: _swin.SwinSpec) -> _swin.SwinSpec:
     in_chans = int(mspec.get("IN_CHANS", 3))
     if in_chans != 3:
         raise ValueError(f"IN_CHANS={in_chans} unsupported (RGB only)")
+    qk_scale = mspec.get("QK_SCALE", None)
     return dataclasses.replace(
         default_spec,
         patch_size=int(mspec.get("PATCH_SIZE", default_spec.patch_size)),
@@ -61,6 +62,10 @@ def _swin_spec_from_cfg(mspec, default_spec: _swin.SwinSpec) -> _swin.SwinSpec:
         ape=bool(mspec.get("APE", default_spec.ape)),
         patch_norm=bool(mspec.get("PATCH_NORM", default_spec.patch_norm)),
         qkv_bias=bool(mspec.get("QKV_BIAS", default_spec.qkv_bias)),
+        # cls_swin.py:697 / clip_swin.py:187: QK_SCALE overrides hd**-0.5
+        qk_scale=None if qk_scale is None else float(qk_scale),
+        # clip_swin.py:193 reads LAYER_SCALE from SPEC.VISION too
+        layer_scale=bool(mspec.get("LAYER_SCALE", default_spec.layer_scale)),
     )
 
 
@@ -68,6 +73,28 @@ def _vit_spec_from_name(name: str, num_classes: int = 0) -> _vit.ViTSpec:
     patch = 16 if "16" in name else 32
     return _vit.ViTSpec(patch_size=patch, num_classes=num_classes,
                         global_pool=False, sincos_pos=name.startswith("mocov3"))
+
+
+def _vit_spec_from_cfg(mspec, default_spec: _vit.ViTSpec) -> _vit.ViTSpec:
+    """Consume the ViT architecture keys the reference's MAE/MoCo-v3 builders
+    read from MODEL.SPEC (mae.py:82-86, mocov3.py:145-147) instead of
+    silently ignoring them on random init."""
+    mlp_ratio = float(mspec.get("MLP_RATIO", 4.0))
+    if mlp_ratio != 4.0:
+        raise ValueError(
+            f"MODEL.SPEC.MLP_RATIO={mlp_ratio} unsupported (the ViT tower is "
+            "built with the 4x MLP every shipped checkpoint uses)")
+    if not bool(mspec.get("QKV_BIAS", True)):
+        raise ValueError(
+            "MODEL.SPEC.QKV_BIAS=False unsupported (qkv bias is always "
+            "materialised; every reference MAE/MoCo config sets True)")
+    return dataclasses.replace(
+        default_spec,
+        patch_size=int(mspec.get("PATCH_SIZE", default_spec.patch_size)),
+        width=int(mspec.get("EMBED_DIM", default_spec.width)),
+        layers=int(mspec.get("DEPTH", default_spec.layers)),
+        heads=int(mspec.get("NUM_HEADS", default_spec.heads)),
+    )
 
 
 def get_model(config, feature_type: str = "image") -> Backbone:
@@ -116,6 +143,7 @@ def get_model(config, feature_type: str = "image") -> Backbone:
             params, spec = _vit.timm_state_dict_to_params(sd, global_pool=global_pool)
         else:
             spec = dataclasses.replace(_vit_spec_from_name(name), global_pool=global_pool)
+            spec = _vit_spec_from_cfg(config.MODEL.SPEC, spec)
             params = _vit.init_vit_params(rng, spec)
             logging.warning("=> %s: RANDOM init (no TEST.MODEL_FILE)", name)
         return Backbone(
@@ -147,9 +175,12 @@ def get_model(config, feature_type: str = "image") -> Backbone:
             if "model" in raw and isinstance(raw["model"], dict):
                 raw = raw["model"]
             params, spec = _swin.swin_state_dict_to_params(raw)
-            # input resolution is a config property, not a weight shape
+            # input resolution is a config property, not a weight shape; same
+            # for QK_SCALE (cls_swin.py:697 reads it regardless of checkpoint)
+            qk = mspec.get("QK_SCALE", None)
             spec = dataclasses.replace(
-                spec, img_size=config.TRAIN.IMAGE_SIZE[0], drop_path_rate=drop_path
+                spec, img_size=config.TRAIN.IMAGE_SIZE[0], drop_path_rate=drop_path,
+                qk_scale=None if qk is None else float(qk),
             )
             if layer_scale and not spec.layer_scale:
                 raise ValueError(
@@ -199,7 +230,13 @@ def get_model(config, feature_type: str = "image") -> Backbone:
 
             raw = read_torch_state_dict(ckpt_file)
             params, sspec, cspec = _swin.clip_swin_state_dict_to_params(raw)
-            sspec = dataclasses.replace(sspec, img_size=config.TRAIN.IMAGE_SIZE[0])
+            # QK_SCALE is a config property even with a checkpoint
+            # (clip_swin.py:187 reads it from SPEC.VISION unconditionally)
+            qk = (config.MODEL.SPEC.get("VISION", {}) or {}).get("QK_SCALE", None)
+            sspec = dataclasses.replace(
+                sspec, img_size=config.TRAIN.IMAGE_SIZE[0],
+                qk_scale=None if qk is None else float(qk),
+            )
             # head count is not recoverable from a state_dict; the YAML's
             # MODEL.SPEC.TEXT.HEADS is authoritative (clip_swin.py:164)
             heads = (config.MODEL.SPEC.get("TEXT", {}) or {}).get("HEADS", cspec.text.heads)

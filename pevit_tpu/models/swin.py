@@ -50,6 +50,9 @@ class SwinSpec:
     patch_norm: bool = True
     # Bias on the qkv projection (cls_swin.py:125 QKV_BIAS).
     qkv_bias: bool = True
+    # Attention-scale override (cls_swin.py:92,697 QK_SCALE; clip_swin.py:187):
+    # None -> head_dim ** -0.5.
+    qk_scale: float | None = None
 
     @property
     def num_stages(self) -> int:
@@ -181,7 +184,8 @@ def _dropout(h: jax.Array, p: float, rng: jax.Array) -> jax.Array:
 
 
 def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: int, n_head: int, mask: jax.Array,
-                      drop_rate: float = 0.0, drop_rng: jax.Array | None = None):
+                      drop_rate: float = 0.0, drop_rng: jax.Array | None = None,
+                      qk_scale: float | None = None):
     """x: (B, res, res, C) -> attention BRANCH output (caller adds residual)."""
     B, _, _, C = x.shape
     hd = C // n_head
@@ -200,7 +204,8 @@ def _window_attention(bp: dict, x: jax.Array, *, res: int, window: int, shift: i
         qkv = qkv + bp["qkv"]["bias"].astype(h.dtype)
     q, k, v = jnp.split(qkv.reshape(-1, window * window, 3, n_head, hd).transpose(2, 0, 3, 1, 4), 3, axis=0)
     q, k, v = q[0], k[0], v[0]  # (B*nW, H, n, hd)
-    q = q * (hd ** -0.5)
+    # cls_swin.py:92: self.scale = qk_scale or head_dim ** -0.5
+    q = q * (hd ** -0.5 if qk_scale is None else qk_scale)
     logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
     rel = bp["rel_bias"][_REL_INDEX_CACHE[window].reshape(-1)].reshape(
         window * window, window * window, n_head
@@ -273,9 +278,11 @@ def swin_forward_features(
         x = _dropout(x, do_rate, next_do_rng())  # pos_drop (cls_swin.py:530)
     x = x.reshape(B, g, g, spec.embed_dim)
 
+    # cache plain numpy (NOT jnp) arrays: a jnp.asarray created while tracing
+    # is a tracer and leaks across jit calls if stored in a module global
     win = spec.window_size
     if win not in _REL_INDEX_CACHE:
-        _REL_INDEX_CACHE[win] = jnp.asarray(_relative_index(win))
+        _REL_INDEX_CACHE[win] = _relative_index(win)
 
     for s, stage in enumerate(params["stages"]):
         res = spec.stage_res(s)
@@ -283,10 +290,11 @@ def swin_forward_features(
             shift = 0 if b % 2 == 0 else win // 2
             key = (res, win, shift)
             if key not in _MASK_CACHE:
-                _MASK_CACHE[key] = jnp.asarray(_attn_mask(res, win, shift))
+                _MASK_CACHE[key] = _attn_mask(res, win, shift)
             attn_out = _window_attention(
                 bp, x, res=res, window=win, shift=shift, n_head=spec.num_heads[s], mask=_MASK_CACHE[key],
                 drop_rate=do_rate, drop_rng=next_do_rng() if do_rate > 0.0 else None,
+                qk_scale=spec.qk_scale,
             )
             gamma = bp.get("gamma")
             if gamma is not None:

@@ -144,6 +144,89 @@ def test_swin_init_weights_false_rejected():
         get_model(cfg)
 
 
+# MODEL.SPEC is a free-form dict the schema walk above cannot see (the r4
+# audit's structural blind spot — QK_SCALE survived it).  Enumerate the SPEC
+# keys the reference's model builders actually read and tripwire each one.
+REFERENCE_SPEC_KEYS = {
+    # cls_swin.py:688-703 (top-level SPEC) / clip_swin.py:178-193 (SPEC.VISION)
+    "PATCH_SIZE", "IN_CHANS", "EMBED_DIM", "DEPTHS", "NUM_HEADS",
+    "WINDOW_SIZE", "MLP_RATIO", "QKV_BIAS", "QK_SCALE", "DROP_RATE",
+    "DROP_PATH_RATE", "APE", "PATCH_NORM", "LAYER_SCALE",
+    # clip_swin.py:157-170 (SPEC.TEXT + EMBED_DIM)
+    "TOKENIZER", "CONTEXT_LENGTH", "WIDTH", "LAYERS", "HEADS",
+    # mae.py:82-86 / mocov3.py:145-147
+    "DEPTH", "GLOBAL_POOL",
+}
+
+
+def test_reference_spec_keys_consumed_or_rejected():
+    """Every MODEL.SPEC key a reference builder reads must appear in this
+    repo's source (consumed or loudly rejected) — closes the free-form-dict
+    blind spot of the schema walk above."""
+    src = _repo_source()
+    silent = sorted(
+        k for k in REFERENCE_SPEC_KEYS
+        if not re.search(rf"\b{re.escape(k)}\b", src)
+    )
+    assert not silent, f"MODEL.SPEC keys the reference reads but this repo never mentions: {silent}"
+
+
+def test_swin_qk_scale_changes_forward():
+    """QK_SCALE must actually change the attention math (cls_swin.py:92:
+    scale = qk_scale or head_dim ** -0.5), not just parse."""
+    import jax
+    import jax.numpy as jnp
+
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.models.factory import get_model
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 224, 224, 3), jnp.float32)
+    outs = []
+    for qk in (None, 0.05):
+        cfg = get_default_config()
+        cfg.MODEL.NAME = "cls_swin_tiny"
+        cfg.TRAIN.IMAGE_SIZE = [224, 224]
+        if qk is not None:
+            cfg.MODEL.SPEC.update({"QK_SCALE": qk})
+        bb = get_model(cfg)
+        outs.append(bb.forward_features(bb.params, x))
+    assert not jnp.allclose(outs[0], outs[1]), "QK_SCALE=0.05 did not change the forward"
+    # default scale equals the explicit head_dim ** -0.5 (tiny: hd=32)
+    cfg = get_default_config()
+    cfg.MODEL.NAME = "cls_swin_tiny"
+    cfg.TRAIN.IMAGE_SIZE = [224, 224]
+    cfg.MODEL.SPEC.update({"QK_SCALE": 32 ** -0.5})
+    bb = get_model(cfg)
+    assert jnp.allclose(outs[0], bb.forward_features(bb.params, x), atol=1e-6)
+
+
+def test_vit_spec_shape_keys_consumed_on_random_init():
+    """MAE/MoCo-v3 SPEC shape keys (mae.py:82-86) must drive the random-init
+    tower geometry; MLP_RATIO != 4 and QKV_BIAS=False must raise."""
+    import pytest
+
+    from pevit_tpu.config import get_default_config
+    from pevit_tpu.models.factory import get_model
+
+    cfg = get_default_config()
+    cfg.MODEL.NAME = "mae_vitb16"
+    cfg.TRAIN.IMAGE_SIZE = [224, 224]
+    cfg.MODEL.SPEC.update(
+        {"EMBED_DIM": 192, "PATCH_SIZE": 32, "DEPTH": 2, "NUM_HEADS": 3,
+         "MLP_RATIO": 4, "QKV_BIAS": True, "GLOBAL_POOL": True}
+    )
+    bb = get_model(cfg)
+    assert bb.feat_dim == 192
+    assert bb.params["blocks"]["attn"]["in_proj"]["kernel"].shape == (2, 192, 3 * 192)
+
+    cfg.MODEL.SPEC.update({"MLP_RATIO": 2})
+    with pytest.raises(ValueError, match="MLP_RATIO"):
+        get_model(cfg)
+    cfg.MODEL.SPEC.update({"MLP_RATIO": 4, "QKV_BIAS": False})
+    with pytest.raises(ValueError, match="QKV_BIAS"):
+        get_model(cfg)
+
+
 def test_model_record_consumes_metadata_keys():
     """MODEL.AUTHOR / NUM_PARAMS_IN_M / PRETRAINED_DATA / CREATION_TIME feed
     the leaderboard model record (common/utils.py:29-37)."""

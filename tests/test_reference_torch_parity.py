@@ -17,6 +17,7 @@ values.
 Skips gracefully if torch or the reference tree is unavailable.
 """
 
+import dataclasses
 import importlib
 import sys
 import types
@@ -35,16 +36,35 @@ REF_EVAL = Path("/root/reference/vision_benchmark/evaluation")
 
 torch = pytest.importorskip("torch")
 
+
+@dataclasses.dataclass(frozen=True)
+class Geom:
+    """Tower geometry; the builders below are geometry-parametric so the
+    slow real-B/32 suite (test_real_geometry_parity.py) reuses them."""
+
+    W: int = 64
+    HEADS: int = 2
+    LAYERS: int = 2
+    PATCH: int = 16
+    RES: int = 32
+    OUT: int = 32
+
+    @property
+    def spec(self) -> CLIPSpec:
+        return CLIPSpec(
+            embed_dim=self.OUT,
+            vision=VisionSpec(
+                input_resolution=self.RES, patch_size=self.PATCH, width=self.W,
+                layers=self.LAYERS, heads=self.HEADS, output_dim=self.OUT,
+            ),
+            text=TextSpec(),
+        )
+
+
 # tiny tower: width divisible by 32 (KAdaptation phm_dim) and by 4 (Compacter)
-W, HEADS, LAYERS, PATCH, RES, OUT = 64, 2, 2, 16, 32, 32
-SPEC = CLIPSpec(
-    embed_dim=OUT,
-    vision=VisionSpec(
-        input_resolution=RES, patch_size=PATCH, width=W, layers=LAYERS,
-        heads=HEADS, output_dim=OUT,
-    ),
-    text=TextSpec(),
-)
+TOY = Geom()
+W, HEADS, LAYERS, PATCH, RES, OUT = TOY.W, TOY.HEADS, TOY.LAYERS, TOY.PATCH, TOY.RES, TOY.OUT
+SPEC = TOY.spec
 
 
 def _load_ref(name):
@@ -93,18 +113,18 @@ def _visual_params(vt, n_layers):
     }
 
 
-def _images(batch=3):
+def _images(batch=3, g: Geom = TOY):
     rng = np.random.default_rng(7)
-    x = rng.standard_normal((batch, 3, RES, RES)).astype(np.float32)
+    x = rng.standard_normal((batch, 3, g.RES, g.RES)).astype(np.float32)
     xt = torch.from_numpy(x)
     xj = jnp.asarray(x.transpose(0, 2, 3, 1))  # NCHW -> NHWC
     return xt, xj
 
 
-def _run_jax(params, peft, method, xj):
-    hooks = make_hooks(PeftConfig(method=method), SPEC, train=False)
+def _run_jax(params, peft, method, xj, g: Geom = TOY):
+    hooks = make_hooks(PeftConfig(method=method), g.spec, train=False)
     return encode_image(
-        params, xj, spec=SPEC, peft=peft, hooks=hooks, rng=None,
+        params, xj, spec=g.spec, peft=peft, hooks=hooks, rng=None,
         compute_dtype=jnp.float32,
     )
 
@@ -121,10 +141,10 @@ def _assert_close(ref, ours, what, rtol=2e-4, atol=3e-5):
 # add, weight-dropout); reference model.py:406-834, 983-1051
 # ---------------------------------------------------------------------------
 
-def _build_kadapt():
+def _build_kadapt(g: Geom = TOY):
     ref = _load_ref("model")
     torch.manual_seed(0)
-    vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
+    vt = ref.VisionTransformer(g.RES, g.PATCH, g.W, g.LAYERS, g.HEADS, g.OUT)
     with torch.no_grad():
         # q/v factors are zero-init (the identity-at-init quirk) — randomize
         # them so the delta path actually contributes to the output.
@@ -150,7 +170,7 @@ def _build_kadapt():
             "b": _stack([a.b for a in blocks]),
         },
     }
-    return vt, _visual_params(vt, LAYERS), peft
+    return vt, _visual_params(vt, g.LAYERS), peft
 
 
 def test_kadaptation_forward_parity():
@@ -194,10 +214,10 @@ def test_kadaptation_grad_parity():
 # LoRA — reference lora_model.py:455-514 (params) + :718-733 (application)
 # ---------------------------------------------------------------------------
 
-def _build_lora():
+def _build_lora(g: Geom = TOY):
     ref = _load_ref("lora_model")
     torch.manual_seed(1)
-    vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
+    vt = ref.VisionTransformer(g.RES, g.PATCH, g.W, g.LAYERS, g.HEADS, g.OUT)
     with torch.no_grad():
         for n, p in vt.named_parameters():
             if "proj_adapter2" in n:  # zero-init B side — randomize
@@ -215,7 +235,7 @@ def _build_lora():
             "v_b": _stack([a.v_proj_adapter2.weight.T for a in blocks]),
         },
     }
-    return vt, _visual_params(vt, LAYERS), peft
+    return vt, _visual_params(vt, g.LAYERS), peft
 
 
 def test_lora_forward_parity():
@@ -247,10 +267,10 @@ def test_lora_grad_parity():
 # Bottleneck adapter — reference adapter_model.py:204-352
 # ---------------------------------------------------------------------------
 
-def _build_adapter():
+def _build_adapter(g: Geom = TOY):
     ref = _load_ref("adapter_model")
     torch.manual_seed(2)
-    vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
+    vt = ref.VisionTransformer(g.RES, g.PATCH, g.W, g.LAYERS, g.HEADS, g.OUT)
     vt.eval()
 
     ads = [b.adapter for b in vt.transformer.resblocks]
@@ -265,7 +285,7 @@ def _build_adapter():
             "up_bias": _stack([a.adapter_up.bias for a in ads]),
         },
     }
-    return vt, _visual_params(vt, LAYERS), peft
+    return vt, _visual_params(vt, g.LAYERS), peft
 
 
 def test_adapter_forward_parity():
@@ -298,10 +318,10 @@ def test_adapter_grad_parity():
 # Compacter — reference compacter_model.py:196-560
 # ---------------------------------------------------------------------------
 
-def _build_compacter():
+def _build_compacter(g: Geom = TOY):
     ref = _load_ref("compacter_model")
     torch.manual_seed(3)
-    vt = ref.VisionTransformer(RES, PATCH, W, LAYERS, HEADS, OUT)
+    vt = ref.VisionTransformer(g.RES, g.PATCH, g.W, g.LAYERS, g.HEADS, g.OUT)
     vt.eval()
 
     cps = [b.compacter for b in vt.transformer.resblocks]
@@ -318,7 +338,7 @@ def _build_compacter():
             "up_b": _stack([c.adapter_up.b for c in cps]),
         },
     }
-    return vt, _visual_params(vt, LAYERS), peft
+    return vt, _visual_params(vt, g.LAYERS), peft
 
 
 def test_compacter_forward_parity():
