@@ -89,6 +89,7 @@ def _measure(args, model: str) -> float:
     cfg.TPU.USE_PALLAS_ATTENTION = not args.no_pallas and jax.default_backend() == "tpu"
     cfg.TPU.FUSED_MLP = args.fused_mlp
     cfg.TPU.STEP_UNROLL = args.step_unroll
+    cfg.TPU.KADAPT_CONCAT_DELTA = args.kadapt_concat_delta
     from pevit_tpu.core.clip import set_scan_unroll
     from pevit_tpu.core.layers import set_attn_layout
 
@@ -225,6 +226,7 @@ def _main():
     ap.add_argument("--fold-ln2", action="store_true")
     # fused LN2->MLP->residual Pallas kernel (ops/fused_mlp.py) A/B
     ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--kadapt-concat-delta", action="store_true")  # one x@[H_q|H_v] GEMM per layer A/B (peft/kadaptation.py)
     ap.add_argument("--scan-unroll", type=int, default=0)  # layer-loop unroll: 0 full (default), 1 rolled (core/clip.py)
     ap.add_argument("--step-unroll", type=int, default=1)  # step-loop unroll: 1 fori_loop (default), k>1 scan(unroll=k) over steps (trainer.build_epoch_fn)
     ap.add_argument("--attn-layout", type=str, default="auto", choices=["auto", "bnhd", "bhnd"])

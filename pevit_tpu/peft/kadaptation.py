@@ -46,6 +46,18 @@ LORA_ATTN_ALPHA = 128
 SCALE = LORA_ATTN_ALPHA / LORA_ATTN_DIM * 5  # = 160 (model.py:564)
 KDROPOUT_P = 0.5
 
+# Concatenated delta GEMM (r4 VERDICT Next #6): issue x @ [H_q | H_v] as ONE
+# (C, 2C) MXU trip instead of two (C, C) GEMMs per layer.  Exact algebra —
+# each output column is the same dot product either way; the scramble applies
+# to the output slices.  Toggled by TPU.KADAPT_CONCAT_DELTA via
+# set_concat_delta (trainer/bench plumb it like SCAN_UNROLL).
+_CONCAT_DELTA = False
+
+
+def set_concat_delta(on: bool) -> None:
+    global _CONCAT_DELTA
+    _CONCAT_DELTA = bool(on)
+
 
 def init_params(rng: jax.Array, n_layers: int, width: int) -> dict:
     """Parameter tree: shared phm rules + stacked per-layer factors."""
@@ -117,8 +129,13 @@ def attn_delta(
     # H builds in fp32 (tiny); the token-dimension GEMM runs in the activation
     # dtype (bf16 on TPU) with fp32 accumulation — standard mixed precision.
     b = layer["b"].astype(jnp.float32)
-    dq = jnp.dot(x, h_q.astype(x.dtype), preferred_element_type=jnp.float32) * SCALE + b
-    dv = jnp.dot(x, h_v.astype(x.dtype), preferred_element_type=jnp.float32) * SCALE + b
+    if _CONCAT_DELTA:
+        h_cat = jnp.concatenate([h_q, h_v], axis=1).astype(x.dtype)  # (C, 2C)
+        d = jnp.dot(x, h_cat, preferred_element_type=jnp.float32) * SCALE
+        dq, dv = d[..., :C] + b, d[..., C:] + b
+    else:
+        dq = jnp.dot(x, h_q.astype(x.dtype), preferred_element_type=jnp.float32) * SCALE + b
+        dv = jnp.dot(x, h_v.astype(x.dtype), preferred_element_type=jnp.float32) * SCALE + b
 
     if reference_compat:
         # quirk #4: reference computes in (N, B, C) and raw-reshapes to

@@ -81,6 +81,7 @@ class TaskStatic:
     fast_ln: bool = False
     fold_ln2: bool = False  # TPU.FOLD_LN2: ln_2 affine folded into c_fc (core/layers.py)
     scan_unroll: int = 0  # layer-loop unroll: 0 full (measured +10%/+24% b32/b16), 1 rolled (core/clip.py)
+    kadapt_concat_delta: bool = False  # TPU.KADAPT_CONCAT_DELTA: one x@[H_q|H_v] GEMM per layer (peft/kadaptation.py)
     step_unroll: int = 1  # step-loop unroll: 1 fori_loop (default), k>1 scan(unroll=k) over steps
     attn_layout: str = "auto"  # mask-free attention layout: auto = bhnd iff N<=64 (core/layers.py); parity pins bnhd
     merge_encoder_head_proj: bool = False
@@ -134,6 +135,7 @@ class TaskStatic:
             and not config.TPU.PARITY_FP32
             and peft_cfg.method != "full_finetune",
             scan_unroll=int(config.TPU.get("SCAN_UNROLL", 0)),
+            kadapt_concat_delta=bool(config.TPU.get("KADAPT_CONCAT_DELTA", False)),
             step_unroll=int(config.TPU.get("STEP_UNROLL", 1)),
             # bhnd is a bf16-throughput feature (core/layers.py); fp32 compute
             # means a parity/accuracy context, which keeps the reference-shaped
@@ -591,11 +593,13 @@ class TrainTask:
         Also applies this task's layer-loop unroll (core/clip.py)."""
         from ..core.clip import set_scan_unroll
         from ..core.layers import set_attn_layout, set_fast_ln, set_fold_ln2
+        from ..peft.kadaptation import set_concat_delta
 
         set_fast_ln(self.static.fast_ln)
         set_fold_ln2(self.static.fold_ln2)
         set_scan_unroll(self.static.scan_unroll)
         set_attn_layout(self.static.attn_layout)
+        set_concat_delta(self.static.kadapt_concat_delta)
 
     def clone_with(self, **static_overrides) -> "TrainTask":
         """A task sharing this one's (device-resident) weights and head init

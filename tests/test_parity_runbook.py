@@ -19,8 +19,11 @@ def test_runbook_plan_mode_offline():
         assert stage in text, f"missing {stage}:\n{text[-2000:]}"
     # checkpoint plan lines name the sha256-pathed OpenAI URLs
     assert "openaipublic.azureedge.net/clip/models" in text
-    # the full campaign is enumerated: 5 methods x 20 datasets x 3 seeds
-    assert text.count("run_multi.sh") == 5 * 20 * 3
+    # the full campaign is enumerated: 7 arms (6 training methods + the
+    # eval-only zeroshot arm) x 20 datasets x 3 seeds
+    assert text.count("run_multi.sh") == 7 * 20 * 3
+    # the baseline diff excludes the zeroshot arm (no published average)
+    assert "--methods kadaptation,lora,adapter,compacter,finetune,linear_probe" in text
     assert "PLAN COMPLETE" in text
     # nothing actually executed: no output tree was created
     assert not (REPO / "PARITY_OUT").exists()

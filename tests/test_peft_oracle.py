@@ -91,6 +91,42 @@ def test_kadaptation_delta_matches_oracle(rng):
     )
 
 
+def test_kadaptation_concat_delta_equivalent(rng):
+    """TPU.KADAPT_CONCAT_DELTA (one x@[H_q|H_v] GEMM) is exact algebra:
+    fwd AND grads match the two-GEMM path at fp32 tolerance."""
+    width, n_head = 64, 2
+    shared, layer = _kad_params(rng, width)
+    shared = jax.tree.map(jnp.asarray, shared)
+    layer = jax.tree.map(jnp.asarray, layer)
+    x = jnp.asarray(rand(rng, B, N, width))
+
+    def loss(args):
+        sh, ly = args
+        dq, dv = kadaptation.attn_delta(
+            sh, ly, jax.random.PRNGKey(0), x, n_head=n_head, train=False
+        )
+        return (dq ** 2).sum() + (dv * dq).sum(), (dq, dv)
+
+    outs = {}
+    try:
+        for flag in (False, True):
+            kadaptation.set_concat_delta(flag)
+            (l, (dq, dv)), g = jax.value_and_grad(loss, has_aux=True)((shared, layer))
+            outs[flag] = (np.asarray(l), np.asarray(dq), np.asarray(dv),
+                          jax.tree.map(np.asarray, g))
+    finally:
+        kadaptation.set_concat_delta(False)
+
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(outs[True][2], outs[False][2], rtol=1e-6, atol=1e-6)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(outs[True][3]),
+        jax.tree_util.tree_leaves_with_path(outs[False][3]),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
 def test_kadaptation_wq_reuse_quirk(rng):
     """The v-delta must depend on q factors, not v factors (quirk #1)."""
     width, n_head = 64, 2

@@ -221,7 +221,11 @@ def _build_lora(g: Geom = TOY):
     with torch.no_grad():
         for n, p in vt.named_parameters():
             if "proj_adapter2" in n:  # zero-init B side — randomize
-                p.copy_(0.05 * torch.randn_like(p))
+                # width-scaled std: LoRA's scale-32 rank-4 delta explodes the
+                # residual stream at real width with 0.05 (logits ~7e4, which
+                # ill-conditions fp32 grad comparison); keep the toy magnitude
+                # at W=64 and shrink ~W^-1 beyond it.
+                p.copy_((0.05 * 64.0 / g.W) * torch.randn_like(p))
     vt.eval()
 
     blocks = [b.attn for b in vt.transformer.resblocks]

@@ -41,6 +41,9 @@ METHODS = {
     "compacter": ("pevit_tpu.commands.compacter_clip", 62.79, 77_907),
     "full_finetune": ("pevit_tpu.commands.finetune", 65.49, 87_878_739),
     "linear_probe": ("pevit_tpu.commands.linear_probe", 66.32, 29_523),
+    # zeroshot: eval-only arm (reference scripts/run.sh zeroshot mode,
+    # commands/zeroshot.py) — no published 20-dataset average in README.md
+    "zeroshot": ("pevit_tpu.commands.zeroshot", None, 0),
 }
 
 ALL_DATASETS = [
@@ -56,9 +59,10 @@ def run_one(method: str, dataset: str, seed: int, args) -> tuple:
     mod = importlib.import_module(METHODS[method][0])
     ds_yaml = REPO / "resources" / "datasets" / f"{dataset}.yaml"
     model_yaml = REPO / "resources" / "model" / f"{args.model}.yaml"
-    argv = [
-        "--ds", str(ds_yaml), "--model", str(model_yaml),
-        "--no-tuning", str(args.no_tuning), "--lr", str(args.lr), "--l2", str(args.l2),
+    argv = ["--ds", str(ds_yaml), "--model", str(model_yaml)]
+    if method != "zeroshot":  # eval-only: no trainer flags (zeroshot.py:19-27)
+        argv += ["--no-tuning", str(args.no_tuning), "--lr", str(args.lr), "--l2", str(args.l2)]
+    argv += [
         "DATASET.NUM_SAMPLES_PER_CLASS", str(args.shots),
         "DATASET.RANDOM_SEED_SAMPLING", str(seed),
         "OUTPUT_DIR", str(Path(args.output_dir) / method),
@@ -75,7 +79,10 @@ def run_one(method: str, dataset: str, seed: int, args) -> tuple:
             "TRAIN.IMAGE_SIZE", "[32,32]", "TEST.IMAGE_SIZE", "[32,32]",
             "TPU.COMPUTE_DTYPE", "float32",
         ]
-    best, model_info = mod.main(argv)
+    out = mod.main(argv)
+    if method == "zeroshot":  # returns the metric alone (zeroshot.py:95)
+        return float(out), {}
+    best, model_info = out
     return float(best), model_info
 
 
@@ -137,13 +144,16 @@ def main(argv=None):
             "per_dataset": per_ds,
             "average_top1": avg,
             "published_average_top1": published,
-            "delta": avg - published,
-            "within_tolerance": abs(avg - published) <= args.tolerance,
+            "delta": None if published is None else avg - published,
+            "within_tolerance": None if published is None else abs(avg - published) <= args.tolerance,
             "wall_s": time.time() - t0,
         }
-        logging.info("%s: avg %.2f vs published %.2f (delta %+.2f)%s",
-                     method, avg, published, avg - published,
-                     "" if not args.smoke else "  [SMOKE: synthetic data — delta not meaningful]")
+        if published is None:
+            logging.info("%s: avg %.2f (no published reference average)", method, avg)
+        else:
+            logging.info("%s: avg %.2f vs published %.2f (delta %+.2f)%s",
+                         method, avg, published, avg - published,
+                         "" if not args.smoke else "  [SMOKE: synthetic data — delta not meaningful]")
 
     Path(args.report).write_text(json.dumps(report, indent=2))
     logging.info("report -> %s", args.report)

@@ -31,7 +31,7 @@ for a in "$@"; do [ "$a" = "--plan" ] && PLAN=1; done
 
 OUT=${OUT:-$PWD/PARITY_OUT}
 DATA_DIR=${DATA_DIR:-$OUT/datasets}
-METHODS=${METHODS:-"kadaptation lora adapter compacter linear_probe"}
+METHODS=${METHODS:-"kadaptation lora adapter compacter finetune linear_probe zeroshot"}
 MODEL_CFG=${MODEL_CFG:-vitb32_CLIP}
 NUM_SHOTS=${NUM_SHOTS:-5}
 CLIP_MODELS=${CLIP_MODELS:-"ViT-B/32,ViT-B/16"}
@@ -83,11 +83,26 @@ echo "== stage 5/5: aggregate + diff vs BASELINE.md (±0.3) =="
 for method in $METHODS; do
     run python read_results.py "$OUT/$method"
 done
+# zeroshot has no published README average (BASELINE.md) — exclude it from
+# the ±0.3 diff; its per-dataset numbers still land in $OUT for inspection
+BASELINE_METHODS=$(echo "$METHODS" | tr ' ' '\n' | grep -v '^zeroshot$' | paste -sd, -)
 run python tools/check_parity_vs_baseline.py --out "$OUT" \
-    --methods "$(echo "$METHODS" | tr ' ' ',')"
+    --methods "$BASELINE_METHODS"
 
 if [ "$PLAN" = 1 ]; then
     echo "PLAN COMPLETE: $(echo "$METHODS" | wc -w) methods x 20 datasets x 3 seeds"
+    # measured campaign cost (tools/campaign_cost.py on the real chip)
+    if [ -f docs/campaign_cost.json ]; then
+        python - <<'PYEOF'
+import json
+r = json.load(open("docs/campaign_cost.json"))
+m = r["measured"]
+print(f"Projected cost (measured {m['method']} cell: {m.get('warm_s', '?')}s warm"
+      f"{' [SMOKE shapes]' if m.get('smoke') else ''}): "
+      f"{r['full_campaign_20ds_x_3seed_x_6method_chip_hours']} chip-hours "
+      f"for the full 20x3x6 campaign (one v5e chip; zeroshot arm is eval-only noise on top)")
+PYEOF
+    fi
 else
     echo "PARITY RUN COMPLETE — see check_parity_vs_baseline output above."
 fi
