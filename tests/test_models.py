@@ -182,10 +182,19 @@ def test_factory_dispatch():
     assert bb.forward_features(bb.params, x).shape == (2, 32)
     assert bb.encode_text is not None
 
-    cfg.MODEL.NAME = "mocov3_vitb16"
-    bb2 = get_model(cfg)
+    # mocov3/mae consume the SPEC shape keys (mocov3.py:145-147) — use a
+    # fresh config: the CLIP-style SPEC above (EMBED_DIM 32 = projection
+    # width) would legitimately build a width-32 MoCo tower
+    cfg2 = get_default_config()
+    cfg2.TRAIN.IMAGE_SIZE = [32, 32]
+    cfg2.MODEL.NAME = "mocov3_vitb16"
+    bb2 = get_model(cfg2)
     x224 = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
     assert bb2.forward_features(bb2.params, x224).shape == (1, 768)
+    # EMBED_DIM drives the random-init width (reference mocov3.py:145)
+    cfg2.MODEL.SPEC.update({"EMBED_DIM": 64, "NUM_HEADS": 2, "DEPTH": 2})
+    bb3 = get_model(cfg2)
+    assert bb3.forward_features(bb3.params, x224).shape == (1, 64)
 
     cfg.MODEL.NAME = "not_a_model"
     with pytest.raises(ValueError):

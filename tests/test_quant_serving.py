@@ -156,8 +156,6 @@ def test_quant_top1_prediction_agreement_trained():
     can hide near-tie flips.  Trains the tiny tower on separable synthetic
     data so predictions are meaningful, then compares both serving paths on
     a held-out split."""
-    import dataclasses
-
     static, trainable, frozen, bn_state, preproc = _tiny_task()
     cfg = get_default_config()
     cfg.defrost()
