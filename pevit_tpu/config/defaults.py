@@ -220,7 +220,7 @@ _C.TPU.FOLD_LN2 = False             # fold the ln_2 affine into the frozen c_fc 
 _C.TPU.FAST_LN_SWEEP = False        # FAST_LN for SWEEP stages only (final run keeps fp32 LN); selection-equality gate: tools/fast_ln_gate.py
 _C.TPU.USE_PALLAS_ATTENTION = False  # fused kernel available but XLA + transpose-free layout measured faster in-loop
 _C.TPU.FUSED_MLP = False            # fused LN2->MLP->residual Pallas kernel (dgrad-only VJP; auto-disabled for full_finetune) — consumed by TaskStatic.from_config
-_C.TPU.KADAPT_CONCAT_DELTA = False  # KAdaptation: one x@[H_q|H_v] (C,2C) GEMM per layer instead of two (C,C) GEMMs — exact algebra, A/B lever (peft/kadaptation.py)
+_C.TPU.KADAPT_CONCAT_DELTA = False  # KAdaptation: one x@[H_q|H_v] (C,2C) GEMM per layer instead of two (C,C) GEMMs — exact algebra; measured -1.7% r5, stays opt-in (peft/kadaptation.py)
 _C.TPU.MAX_DEVICE_DATA_GB = 4.0     # train splits above this stream from host RAM
 _C.TPU.CHECKPOINT_DIR = ""          # orbax save/resume dir ('' = disabled)
 _C.TPU.SWEEP_CACHE_DIR = "auto"     # sweep trial-score cache for crash/preemption resume: 'auto' = <run output dir>/sweep_cache (CLI), '' disables, else explicit dir — consumed by train/sweep_cache.py via sweep._run_stage

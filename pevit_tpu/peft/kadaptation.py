@@ -51,6 +51,10 @@ KDROPOUT_P = 0.5
 # each output column is the same dot product either way; the scramble applies
 # to the output slices.  Toggled by TPU.KADAPT_CONCAT_DELTA via
 # set_concat_delta (trainer/bench plumb it like SCAN_UNROLL).
+# MEASURED r5 (interleaved 3-rep A/B, B/32 batch 128): -1.71% (3814.7 ->
+# 3749.5 img/s median) — the (C,C) GEMMs already tile fine; the concat
+# materialisation costs more than the saved dispatch.  Stays default-off
+# (ARCHITECTURE.md dead-end ledger).
 _CONCAT_DELTA = False
 
 

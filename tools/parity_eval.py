@@ -100,6 +100,10 @@ def main(argv=None):
     ap.add_argument("--l2", type=float, default=0.0)
     ap.add_argument("--output-dir", default="parity_out")
     ap.add_argument("--report", default="parity_report.json")
+    ap.add_argument("--merge", action="store_true",
+                    help="update --report in place: keep methods already recorded "
+                         "there, overwrite/add the ones run now (lets the full "
+                         "6-method + zeroshot grid accumulate into ONE artifact)")
     ap.add_argument("--tolerance", type=float, default=0.3, help="per-average acceptance band (pts)")
     ap.add_argument("--smoke", action="store_true",
                     help="offline harness check: synthetic data, random weights, tiny epochs")
@@ -127,6 +131,11 @@ def main(argv=None):
 
     report = {"config": {"shots": args.shots, "model": args.model, "seeds": seeds,
                          "smoke": bool(args.smoke)}, "methods": {}}
+    if args.merge and Path(args.report).exists():
+        prior = json.loads(Path(args.report).read_text())
+        assert prior.get("config", {}).get("shots") == args.shots, \
+            "--merge across different shot counts would mix incomparable grids"
+        report["methods"].update(prior.get("methods", {}))
     for method in methods:
         assert method in METHODS, f"unknown method {method!r} (choices: {list(METHODS)})"
         per_ds = {}
@@ -154,8 +163,9 @@ def main(argv=None):
             logging.info("%s: avg %.2f vs published %.2f (delta %+.2f)%s",
                          method, avg, published, avg - published,
                          "" if not args.smoke else "  [SMOKE: synthetic data — delta not meaningful]")
-
-    Path(args.report).write_text(json.dumps(report, indent=2))
+        # write after every method: a killed grid keeps its finished arms
+        # (the job/sweep caches make the rerun of the live arm cheap)
+        Path(args.report).write_text(json.dumps(report, indent=2))
     logging.info("report -> %s", args.report)
     return report
 
