@@ -50,6 +50,10 @@ pytestmark = pytest.mark.slow
 
 # TRUE ViT-B/32: model.py:1210-1233 infers exactly this from the OpenAI ckpt
 B32 = Geom(W=768, HEADS=12, LAYERS=12, PATCH=32, RES=224, OUT=512)
+# TRUE ViT-L/14 (the repo's beyond-reference flagship): width 1024 flips the
+# per-axis Kronecker dim to d=32 (1024/32) and N to 257 — a different tiling
+# of every geometry-sensitive quirk than B/32's d=24 / N=50.
+L14 = Geom(W=1024, HEADS=16, LAYERS=24, PATCH=14, RES=224, OUT=768)
 BATCH = 4
 
 _BUILDERS = {
@@ -151,6 +155,36 @@ def test_real_geometry_forward_and_grad_parity(method):
         a0 = vt.transformer.resblocks[0].attn
         assert a0.v_proj_adapter1_left.grad is None
         assert not np.any(np.asarray(g["layers"]["v_left"]))
+
+
+def test_l14_geometry_kadaptation_parity():
+    """KAdaptation fwd+grad at the ViT-L/14 tower geometry (batch 2 — torch
+    eager at L/14 is ~18x B/32 FLOPs/img on this 1-core host).  Covers the
+    d=32 Kronecker split and the N=257 scramble tiling the B/32 test can't."""
+    vt, params, peft = _build_kadapt(L14)
+    xt, xj = _images(batch=2, g=L14)
+
+    out = vt(xt)
+    ref_out = out.detach().numpy()
+    ours = np.asarray(_run_jax(params, peft, "kadaptation", xj, g=L14))
+    scale = float(np.abs(ref_out).max())
+    np.testing.assert_allclose(
+        ours, ref_out, rtol=2e-3, atol=2e-3 * scale,
+        err_msg="kadaptation L/14 real-geometry logits diverge",
+    )
+
+    (out ** 2).sum().backward()
+    g = jax.grad(lambda pf: (_run_jax(params, pf, "kadaptation", xj, g=L14) ** 2).sum())(peft)
+    for check in _grad_checks("kadaptation", vt, L14):
+        t, path, idx = check[0], check[1], check[2]
+        ref_g = t.grad.detach().numpy()
+        ours_g = np.asarray(_pick(g, path, idx))
+        gs = float(np.abs(ref_g).max())
+        assert gs > 0, f"L/14 reference grad at {path} is all-zero?"
+        np.testing.assert_allclose(
+            ours_g, ref_g, rtol=5e-3, atol=5e-3 * gs,
+            err_msg=f"kadaptation L/14 grad({'.'.join(path)}) diverges",
+        )
 
 
 def test_real_geometry_head_path_parity():
