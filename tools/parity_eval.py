@@ -166,6 +166,14 @@ def main(argv=None):
         # write after every method: a killed grid keeps its finished arms
         # (the job/sweep caches make the rerun of the live arm cheap)
         Path(args.report).write_text(json.dumps(report, indent=2))
+        # drop this method's compiled executables: 4+ accumulated per-method
+        # program sets exhaust the 16 GB chip (r5, tools/campaign_cost.py)
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
     logging.info("report -> %s", args.report)
     return report
 
