@@ -69,6 +69,12 @@ COMMANDS = {
 
 
 def run_cell(method: str, dataset: str, seed: int, out_dir: Path, *, smoke: bool) -> float:
+    # a prior run's completed-job artifact in out_dir would REPLAY the result
+    # (commands/_common.py job resume) instead of training — fatal for timing
+    import shutil
+
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
     mod = importlib.import_module(COMMANDS[method])
     argv = [
         "--ds", str(REPO / "resources" / "datasets" / f"{dataset}.yaml"),
@@ -97,7 +103,10 @@ def run_cell(method: str, dataset: str, seed: int, out_dir: Path, *, smoke: bool
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
-    ap.add_argument("--method", default="kadaptation", choices=sorted(COMMANDS))
+    ap.add_argument("--method", default="kadaptation",
+                    help="comma-separated subset of %s, or 'all': later methods "
+                         "in one process skip the first-dispatch tax, so every "
+                         "warm cell is measured, not scaled" % sorted(COMMANDS))
     ap.add_argument("--dataset", default="cifar10")
     ap.add_argument("--out", default=str(REPO / "docs" / "campaign_cost.json"))
     ap.add_argument("--output-dir", default="/tmp/campaign_cost_out")
@@ -105,6 +114,9 @@ def main(argv=None):
                     help="tiny-shape harness check on CPU (CI)")
     ap.add_argument("--skip-cold", action="store_true",
                     help="only measure the warm cell (reuse a live process)")
+    ap.add_argument("--merge", action="store_true",
+                    help="fold this run's per-method cells into an existing --out "
+                         "JSON (measure methods across separate processes)")
     args = ap.parse_args(argv)
 
     if args.smoke:
@@ -120,33 +132,91 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 
     out_dir = Path(args.output_dir)
-    walls = {}
-    if not args.skip_cold:
-        walls["cold_s"] = run_cell(args.method, args.dataset, 0, out_dir / "cold", smoke=args.smoke)
-        print(f"cold cell ({args.method}/{args.dataset} seed 0): {walls['cold_s']:.1f}s", flush=True)
-    # different seed -> different few-shot sample -> no cached selection reuse
-    walls["warm_s"] = run_cell(args.method, args.dataset, 1, out_dir / "warm", smoke=args.smoke)
-    print(f"warm cell ({args.method}/{args.dataset} seed 1): {walls['warm_s']:.1f}s", flush=True)
+    methods = sorted(COMMANDS) if args.method == "all" else [m.strip() for m in args.method.split(",")]
+    for m in methods:
+        assert m in COMMANDS, f"unknown method {m!r} (choices: {sorted(COMMANDS)})"
 
-    warm = walls["warm_s"]
+    if len(methods) > 1 and not args.smoke:
+        # One process per method: the relay chip exhausts HBM when several
+        # methods' program sets run in one process even with ZERO live client
+        # arrays and jax.clear_caches() between them (r5 probe: live_arrays()
+        # == 0 after a cell, yet the 5th method's first dispatch dies
+        # RESOURCE_EXHAUSTED) — server-side retention.  Each subprocess pays
+        # its own first-dispatch tax in the seed-0 (cold) cell; warm stays
+        # clean, and --merge folds every method into one --out artifact.
+        import subprocess
+
+        for m in methods:
+            cmd = [sys.executable, __file__, "--method", m,
+                   "--dataset", args.dataset, "--out", args.out,
+                   "--output-dir", args.output_dir, "--merge"]
+            if args.skip_cold:
+                cmd.append("--skip-cold")
+            r = subprocess.run(cmd)
+            assert r.returncode == 0, f"{m} cell failed (exit {r.returncode})"
+        report = json.loads(Path(args.out).read_text())
+        print(json.dumps(report, indent=2))
+        return report
+    measured = {}
+    for i, m in enumerate(methods):
+        walls = {}
+        # seed-0 cell: for the FIRST method this is the true cold number
+        # (compiles + the relay's first-dispatch tax); for later methods in
+        # the same process it is compile-only — record it as compile_s.
+        if not args.skip_cold:
+            key = "cold_s" if i == 0 else "compile_s"
+            walls[key] = run_cell(m, args.dataset, 0, out_dir / m / "cold", smoke=args.smoke)
+            print(f"{key[:-2]} cell ({m}/{args.dataset} seed 0): {walls[key]:.1f}s", flush=True)
+        # different seed -> different few-shot sample -> no cached selection reuse
+        walls["warm_s"] = run_cell(m, args.dataset, 1, out_dir / m / "warm", smoke=args.smoke)
+        print(f"warm cell ({m}/{args.dataset} seed 1): {walls['warm_s']:.1f}s", flush=True)
+        measured[m] = {k: round(v, 1) for k, v in walls.items()}
+        # drop this method's compiled executables before the next one: on the
+        # 16 GB relay chip, 4+ accumulated per-method program sets exhausted
+        # HBM (RESOURCE_EXHAUSTED in the 5th method's compile, r5 measured)
+        import gc
+
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+
+    if args.merge and Path(args.out).exists():
+        prior = json.loads(Path(args.out).read_text())
+        prior_pm = prior.get("measured", {}).get("per_method", {})
+        if not prior_pm and "method" in prior.get("measured", {}):  # pre-r5 shape
+            prior_pm = {prior["measured"]["method"]:
+                        {k: v for k, v in prior["measured"].items()
+                         if k in ("cold_s", "warm_s")}}
+        measured = {**prior_pm, **measured}
+
+    # anchor scaled projections on kadaptation when measured (REL_THROUGHPUT
+    # is relative to it), else on the first measured method
+    anchor_m = "kadaptation" if "kadaptation" in measured else next(iter(measured))
+    anchor = measured[anchor_m]["warm_s"]
     projection = {}
     for m, rel in REL_THROUGHPUT.items():
-        cell = warm * rel if m != args.method else warm
+        if m in measured:
+            cell, basis = measured[m]["warm_s"], "measured"
+        else:
+            cell, basis = anchor * rel / REL_THROUGHPUT[anchor_m], "scaled"
         projection[m] = {
             "cell_warm_s": round(cell, 1),
+            "basis": basis,
             "campaign_60_cells_h": round(cell * 20 * 3 / 3600, 2),
         }
     total_h = sum(v["campaign_60_cells_h"] for v in projection.values())
 
     report = {
         "measured": {
-            "method": args.method,
             "dataset": args.dataset,
             "shots": 5,
             "smoke": bool(args.smoke),
-            **{k: round(v, 1) for k, v in walls.items()},
+            "per_method": measured,
         },
-        "projection_basis": "warm cell scaled by r3 per-method step-throughput ratios",
+        "projection_basis": "measured warm cells where available; otherwise the "
+                            "first method's warm cell scaled by r3 per-method "
+                            "step-throughput ratios",
         "per_method": projection,
         "full_campaign_20ds_x_3seed_x_6method_chip_hours": round(total_h, 1),
     }

@@ -97,7 +97,8 @@ if [ "$PLAN" = 1 ]; then
 import json
 r = json.load(open("docs/campaign_cost.json"))
 m = r["measured"]
-print(f"Projected cost (measured {m['method']} cell: {m.get('warm_s', '?')}s warm"
+cells = ", ".join(f"{k} {v['warm_s']}s" for k, v in m["per_method"].items())
+print(f"Projected cost (measured warm cells: {cells}"
       f"{' [SMOKE shapes]' if m.get('smoke') else ''}): "
       f"{r['full_campaign_20ds_x_3seed_x_6method_chip_hours']} chip-hours "
       f"for the full 20x3x6 campaign (one v5e chip; zeroshot arm is eval-only noise on top)")
