@@ -94,13 +94,16 @@ def _attn_mask(res: int, window: int, shift: int) -> np.ndarray:
     if shift == 0:
         n_w = (res // window) ** 2
         return np.zeros((n_w, window * window, window * window), np.float32)
+    # Region map built directly in the ROLLED frame (cls_swin.py:216-232):
+    # after x rolls by (-shift, -shift), the wrapped rows/cols live in the
+    # trailing slices.  The reference does NOT roll this map — it partitions
+    # it as-is.
     img = np.zeros((res, res), np.int32)
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
         for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
             img[hs, ws] = cnt
             cnt += 1
-    img = np.roll(img, (-shift, -shift), axis=(0, 1))
     wins = (
         img.reshape(res // window, window, res // window, window)
         .transpose(0, 2, 1, 3)
@@ -128,8 +131,11 @@ def init_swin_params(rng: jax.Array, spec: SwinSpec) -> dict:
     if spec.ape:
         g = spec.img_size // p
         params["absolute_pos_embed"] = _trunc(next(keys), (1, g * g, spec.embed_dim))
-    w2 = (2 * spec.window_size - 1) ** 2
     for s in range(spec.num_stages):
+        # WindowAttention is built with the CLAMPED window (cls_swin.py:198-201,
+        # 204-206), so clamped stages carry a smaller rel-bias table.
+        w_eff = min(spec.window_size, spec.stage_res(s))
+        w2 = (2 * w_eff - 1) ** 2
         dim = spec.stage_dim(s)
         blocks = []
         for b in range(spec.depths[s]):
@@ -281,18 +287,24 @@ def swin_forward_features(
     # cache plain numpy (NOT jnp) arrays: a jnp.asarray created while tracing
     # is a tracer and leaks across jit calls if stored in a module global
     win = spec.window_size
-    if win not in _REL_INDEX_CACHE:
-        _REL_INDEX_CACHE[win] = _relative_index(win)
 
     for s, stage in enumerate(params["stages"]):
         res = spec.stage_res(s)
+        # Reference clamp (cls_swin.py:198-201): when the stage resolution is
+        # <= the window, the whole stage is ONE window — no shift, window
+        # shrunk to the resolution.  This hits the LAST stage of every
+        # standard Swin (res 7 == window 7), where the reference runs
+        # full unshifted attention on both blocks.
+        eff_win = min(win, res)
+        if eff_win not in _REL_INDEX_CACHE:
+            _REL_INDEX_CACHE[eff_win] = _relative_index(eff_win)
         for b, bp in enumerate(stage["blocks"]):
-            shift = 0 if b % 2 == 0 else win // 2
-            key = (res, win, shift)
+            shift = 0 if (b % 2 == 0 or res <= win) else win // 2
+            key = (res, eff_win, shift)
             if key not in _MASK_CACHE:
-                _MASK_CACHE[key] = _attn_mask(res, win, shift)
+                _MASK_CACHE[key] = _attn_mask(res, eff_win, shift)
             attn_out = _window_attention(
-                bp, x, res=res, window=win, shift=shift, n_head=spec.num_heads[s], mask=_MASK_CACHE[key],
+                bp, x, res=res, window=eff_win, shift=shift, n_head=spec.num_heads[s], mask=_MASK_CACHE[key],
                 drop_rate=do_rate, drop_rng=next_do_rng() if do_rate > 0.0 else None,
                 qk_scale=spec.qk_scale,
             )

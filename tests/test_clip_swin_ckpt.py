@@ -151,8 +151,10 @@ def test_clip_swin_golden_parity(ref_clip_swin, tmp_path):
     with torch.no_grad():
         ref_img = model.encode_image(torch.from_numpy(x))  # L2-normalised
     ours_img = bb.forward_features(bb.params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # fp32-tight: the r5 shift-clamp + mask-frame fixes made the vision tower
+    # exact; a loose 2e-3 here previously HID both bugs (test_cls_swin_parity).
     np.testing.assert_allclose(
-        np.asarray(ours_img), ref_img.numpy(), rtol=5e-3, atol=2e-3,
+        np.asarray(ours_img), ref_img.numpy(), rtol=0, atol=2e-5,
         err_msg="clip_swin encode_image diverges",
     )
 
