@@ -73,10 +73,10 @@ def ref_cls_swin():
         pytest.skip(f"reference cls_swin not importable: {e}")
 
 
-def _build(ref_cls_swin, *, img=56, window=7, depths=(2, 2), heads=(2, 4), seed=0, **kw):
+def _build(ref_cls_swin, *, img=56, window=7, depths=(2, 2), heads=(2, 4), embed=32, seed=0, **kw):
     torch.manual_seed(seed)
     model = ref_cls_swin.SwinTransformer(
-        img_size=img, patch_size=4, in_chans=3, num_classes=5, embed_dim=32,
+        img_size=img, patch_size=4, in_chans=3, num_classes=5, embed_dim=embed,
         depths=list(depths), num_heads=list(heads), window_size=window,
         mlp_ratio=4.0, qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0,
         ape=kw.get("ape", False), patch_norm=True, layer_scale=kw.get("layer_scale", False),
@@ -154,3 +154,24 @@ def test_grad_parity(ref_cls_swin):
     np.testing.assert_allclose(
         np.asarray(dp["stages"][0]["blocks"][1]["qkv"]["kernel"]).T, ref_dqkv, atol=1e-6, rtol=0
     )
+
+
+@pytest.mark.slow
+def test_forward_parity_real_swin_tiny_geometry(ref_cls_swin):
+    """Full Swin-Tiny at its true 224 operating point: stage resolutions
+    56/28/14/7, so stages 0-2 run real shifted-window masks and stage 3 is
+    the reference-clamped single-window case (cls_swin.py:198-201) — the
+    production geometry of resources/model/clip_swin_tiny.yaml."""
+    model, params, spec = _build(
+        ref_cls_swin, img=224, window=7, depths=(2, 2, 6, 2), heads=(3, 6, 12, 24), embed=96, seed=11
+    )
+    # reference clamps stage-3 (res 7) shifts to 0; stages 0-2 alternate 0/3
+    stage3 = [b.shift_size for b in model.layers[3].blocks]
+    assert stage3 == [0, 0]
+    torch.manual_seed(13)
+    x = torch.randn(2, 3, 224, 224)
+    with torch.no_grad():
+        ref = model(x).numpy()
+    xj = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    ours = np.asarray(swin_forward(params, xj, spec=spec))
+    np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=0)
