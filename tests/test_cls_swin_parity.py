@@ -36,10 +36,12 @@ from pevit_tpu.models.swin import swin_forward, swin_state_dict_to_params
 REF_MODELS = Path("/root/reference/vision_benchmark/models")
 
 
-@pytest.fixture(scope="module")
-def ref_cls_swin():
+def load_ref_cls_swin():
+    """Import the reference's cls_swin module with timm shimmed (DropPath is
+    only exercised at rate 0 in parity tests, where it is Identity).  Raises
+    on failure — test files wrap this in a fixture/skip."""
     if not REF_MODELS.exists():
-        pytest.skip("reference tree not available")
+        raise FileNotFoundError("reference tree not available")
     if "timm.models.layers" not in sys.modules:
         import importlib.machinery as _mach
 
@@ -67,8 +69,13 @@ def ref_cls_swin():
         pkg = types.ModuleType(pkg_name)
         pkg.__path__ = [str(REF_MODELS)]
         sys.modules[pkg_name] = pkg
+    return importlib.import_module(f"{pkg_name}.cls_swin")
+
+
+@pytest.fixture(scope="module")
+def ref_cls_swin():
     try:
-        return importlib.import_module(f"{pkg_name}.cls_swin")
+        return load_ref_cls_swin()
     except Exception as e:  # pragma: no cover - environment-dependent
         pytest.skip(f"reference cls_swin not importable: {e}")
 

@@ -457,3 +457,160 @@ def test_partial_batch_whole_run_parity(multilabel):
             np.asarray(ours), np.asarray(refv), rtol=2e-3, atol=2e-4,
             err_msg=f"partial-batch {what} diverges (multilabel={multilabel})",
         )
+
+
+@pytest.mark.slow
+def test_swin_backbone_whole_run_matches_reference_stack():
+    """Whole-run golden parity with a SWIN backbone: N epochs of the
+    reference's ACTUAL cls_swin SwinTransformer (cls_swin.py:475-681,
+    num_classes=0 -> pooled features) under the full_model_finetune
+    semantics (Classifier BN+Linear, logit_scale multiply, active global
+    grad clip, SGD momentum+nesterov+wd), eager torch vs OUR whole-run
+    jitted fit over the generic-Backbone path.
+
+    The geometry exercises both r5 swin parity fix sites INSIDE a training
+    loop at drifting (trained) magnitudes: stage 0 res 8 > window 4 has a
+    real shifted block + region mask; stage 1 res 4 == window is the
+    reference-clamped single-window case (cls_swin.py:198-201)."""
+    from tests.test_cls_swin_parity import load_ref_cls_swin
+    from pevit_tpu.models import Backbone
+    from pevit_tpu.models.swin import swin_forward_features, swin_state_dict_to_params
+    import dataclasses as _dc
+
+    try:
+        ref_cls_swin = load_ref_cls_swin()
+    except Exception as e:
+        pytest.skip(f"reference cls_swin not importable: {e}")
+
+    IMG, KC, NS, BS, EP = 32, 4, 16, 8, 3
+    torch.manual_seed(21)
+    vt = ref_cls_swin.SwinTransformer(
+        img_size=IMG, patch_size=4, in_chans=3, num_classes=0, embed_dim=16,
+        depths=[2, 1], num_heads=[2, 2], window_size=4, mlp_ratio=4.0,
+        qkv_bias=True, drop_rate=0.0, drop_path_rate=0.0, ape=False, patch_norm=True,
+    )
+    assert [b.shift_size for layer in vt.layers for b in layer.blocks] == [0, 2, 0]
+    sd = {k: v.detach().numpy() for k, v in vt.state_dict().items()}
+    params, sspec = swin_state_dict_to_params(sd)
+    sspec = _dc.replace(sspec, img_size=IMG)
+    feat_dim = 32  # embed 16 * 2 stages
+
+    bb = Backbone(
+        name="cls_swin_parity", params=params, feat_dim=feat_dim,
+        forward_features=lambda p, x: swin_forward_features(p, x, spec=sspec),
+    )
+    cfg = get_default_config()
+    cfg.defrost()
+    cfg.DATASET.NUM_CLASSES = KC
+    cfg.TRAIN.BATCH_SIZE_PER_GPU = BS
+    cfg.TRAIN.IMAGE_SIZE = [IMG, IMG]
+    cfg.TRAIN.LOGIT_SCALE_INIT = "clip"
+    cfg.TRAIN.CLIP_GRAD_NORM = 0.05
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.freeze()
+
+    from pevit_tpu.core import CLIPSpec
+
+    static = TaskStatic.from_config(
+        cfg, CLIPSpec(embed_dim=feat_dim), PeftConfig(method="full_finetune"), feat_dim=feat_dim
+    )
+    task = TrainTask(cfg, static, None, backbone=bb, eval_chunk=16)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(1))
+    assert trainable["clip"], "full_finetune must train the swin backbone"
+
+    rng = np.random.default_rng(17)
+    images_u8 = rng.integers(0, 255, (NS, IMG, IMG, 3), dtype=np.uint8)
+    labels = rng.integers(0, KC, (NS,)).astype(np.int64)
+
+    lr = 0.003
+    fwd = task._forward_fn
+    fit = jax.jit(build_fit_fn(static, NS, EP, task.preproc, forward_fn=fwd))
+    opt_init, _ = make_optimizer("sgd")
+    state = (trainable, opt_init(trainable), bn_state, jax.random.PRNGKey(2))
+    lr_table = jnp.full((EP,), lr, jnp.float32)
+    state = fit(
+        frozen, jnp.asarray(images_u8), jnp.asarray(labels.astype(np.int32)),
+        state, lr_table, jnp.float32(WD),
+    )
+    trained, _, bn_trained, _ = state
+
+    # ---- reference side: eager torch, identical everything --------------
+    logit_scale = float(np.exp(np.asarray(frozen["head"]["logit_scale"])))
+    assert abs(logit_scale - 1 / 0.07) < 1e-3
+
+    mean = np.asarray(task.preproc["mean"], np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(task.preproc["std"], np.float32).reshape(1, 3, 1, 1)
+    x_all = torch.from_numpy(
+        (images_u8.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
+    )
+    x_all = (x_all - torch.from_numpy(mean)) / torch.from_numpy(std)
+    y_all = torch.from_numpy(labels)
+
+    bn = torch.nn.BatchNorm1d(feat_dim, affine=False)
+    lin = torch.nn.Linear(feat_dim, KC)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["kernel"]).T))
+        lin.bias.copy_(torch.from_numpy(np.asarray(trainable["head"]["linear"]["bias"])))
+
+    vt.train()
+    bn.train()
+    train_params = list(vt.parameters()) + list(lin.parameters())
+    opt = torch.optim.SGD(
+        train_params, lr=lr, momentum=static.momentum,
+        weight_decay=WD, nesterov=static.nesterov,
+    )
+    ce = torch.nn.CrossEntropyLoss()
+    for perm in _trainer_perms(jax.random.PRNGKey(2), NS, EP):
+        for s in range(0, NS, BS):
+            idx = perm[s : s + BS]
+            opt.zero_grad()
+            logits = logit_scale * lin(bn(vt(x_all[idx])))
+            ce(logits, y_all[idx]).backward()
+            torch.nn.utils.clip_grad_norm_(train_params, 0.05)
+            opt.step()
+
+    # ---- compare trained weights (shifted block = old bug site) ---------
+    tsd = {k: v.detach().numpy() for k, v in vt.state_dict().items()}
+    c = trained["clip"]
+    for what, ours, refv in [
+        ("patch_embed kernel", c["patch_embed"]["kernel"],
+         tsd["patch_embed.proj.weight"].transpose(2, 3, 1, 0).reshape(4 * 4 * 3, 16)),
+        ("stage0 SHIFTED block qkv", c["stages"][0]["blocks"][1]["qkv"]["kernel"],
+         tsd["layers.0.blocks.1.attn.qkv.weight"].T),
+        ("stage0 SHIFTED block rel_bias", c["stages"][0]["blocks"][1]["rel_bias"],
+         tsd["layers.0.blocks.1.attn.relative_position_bias_table"]),
+        ("downsample reduction", c["stages"][0]["downsample"]["reduction"]["kernel"],
+         tsd["layers.0.downsample.reduction.weight"].T),
+        ("final norm scale", c["norm"]["scale"], tsd["norm.weight"]),
+        ("head kernel", trained["head"]["linear"]["kernel"],
+         np.asarray(lin.weight.detach().numpy().T)),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(ours), refv, rtol=2e-3, atol=2e-4,
+            err_msg=f"swin whole-run trained {what} diverges",
+        )
+    np.testing.assert_allclose(
+        np.asarray(bn_trained["mean"]), bn.running_mean.detach().numpy(),
+        rtol=2e-3, atol=2e-4, err_msg="BN running mean diverges",
+    )
+
+    # ---- eval logits on fresh images ------------------------------------
+    vt.eval(); bn.eval()
+    x_test = rng.integers(0, 255, (8, IMG, IMG, 3), dtype=np.uint8)
+    with torch.no_grad():
+        xt = torch.from_numpy((x_test.astype(np.float32) / 255.0).transpose(0, 3, 1, 2))
+        xt = (xt - torch.from_numpy(mean)) / torch.from_numpy(std)
+        ref_logits = (logit_scale * lin(bn(vt(xt)))).numpy()
+
+    from pevit_tpu.train.partition import combine
+    from pevit_tpu.train.trainer import model_forward
+
+    bundle = combine(trained, frozen)
+    ours_logits, _ = model_forward(
+        static, bundle, bn_trained, jnp.asarray(x_test), task.preproc,
+        train=False, rng=None, mask=None, forward_fn=fwd,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_logits), ref_logits, rtol=2e-3, atol=5e-4,
+        err_msg="swin whole-run eval logits diverge from the reference stack",
+    )
