@@ -321,6 +321,7 @@ def _run_blocks(
     remat=False,
     use_pallas: bool = False,
     use_fused_mlp: bool = False,
+    ln_eps: float = 1e-5,
 ) -> jax.Array:
     """Scan the stacked transformer blocks over the residual stream.
 
@@ -355,6 +356,7 @@ def _run_blocks(
             mlp_post_fn=mlp_post_fn,
             use_pallas=use_pallas,
             use_fused_mlp=use_fused_mlp,
+            ln_eps=ln_eps,
         )
         return y, None
 
@@ -488,11 +490,14 @@ def encode_text(
     spec: CLIPSpec,
     compute_dtype: Any = jnp.float32,
     remat: bool = False,
+    ln_eps: float = 1e-5,
 ) -> jax.Array:
     """Text tower forward (reference model.py:1154-1167).
 
     ``tokens``: (B, context_length) int32.  The text tower never carries PEFT
     parameters (reference model.py:956 — stock attention via kattention=None).
+    ``ln_eps``: 1e-5 for OpenAI CLIP; clip_swin's text tower uses the
+    TF-style 1e-12 (clip_swin.py:24-39) — models/factory.py passes it.
     """
     t = spec.text
     tp = params["text"]
@@ -501,10 +506,11 @@ def encode_text(
     mask = causal_mask(t.context_length)
 
     x = _run_blocks(
-        tp["blocks"], x, n_head=t.heads, mask=mask, n_layers=t.layers, remat=remat
+        tp["blocks"], x, n_head=t.heads, mask=mask, n_layers=t.layers, remat=remat,
+        ln_eps=ln_eps,
     )
 
-    x = layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"])
+    x = layer_norm(x, tp["ln_final"]["scale"], tp["ln_final"]["bias"], eps=ln_eps)
     # features from the EOT embedding (highest token id per sequence)
     eot = jnp.argmax(tokens, axis=-1)
     x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0, :]

@@ -247,8 +247,13 @@ def residual_attention_block(
     use_pallas: bool = False,
     use_fused_mlp: bool = False,
     act: Optional[Callable] = None,
+    ln_eps: float = 1e-5,
 ) -> jax.Array:
     """One CLIP transformer block (reference model.py:947-975).
+
+    ``ln_eps``: LayerNorm epsilon — 1e-5 for OpenAI CLIP towers
+    (model.py:154-160), 1e-12 for clip_swin's TF-style text LayerNorm
+    (clip_swin.py:24-39).  Static, so it costs nothing under jit.
 
     ``mlp_post_fn`` (bottleneck-adapter / Compacter hook) receives the MLP
     output ``m = mlp(ln_2(x))`` and returns what is added to the residual
@@ -261,7 +266,7 @@ def residual_attention_block(
     when the MLP weights are FROZEN (its VJP is dgrad-only) and no
     ``mlp_post_fn`` hook needs the bare MLP output.
     """
-    h = layer_norm(x, params["ln_1"]["scale"], params["ln_1"]["bias"])
+    h = layer_norm(x, params["ln_1"]["scale"], params["ln_1"]["bias"], eps=ln_eps)
     x = x + multi_head_attention(
         params["attn"], h, n_head=n_head, mask=mask, qv_delta_fn=qv_delta_fn,
         use_pallas=use_pallas,
@@ -286,10 +291,10 @@ def residual_attention_block(
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.var(x32, axis=-1, keepdims=True)
-        n = ((x32 - mean) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+        n = ((x32 - mean) * jax.lax.rsqrt(var + ln_eps)).astype(x.dtype)
         m = mlp(params["mlp"], n, act=act)
     else:
-        m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"]), act=act)
+        m = mlp(params["mlp"], layer_norm(x, params["ln_2"]["scale"], params["ln_2"]["bias"], eps=ln_eps), act=act)
     if mlp_post_fn is not None:
         m = mlp_post_fn(m)
     return x + m

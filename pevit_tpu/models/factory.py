@@ -266,10 +266,11 @@ def get_model(config, feature_type: str = "image") -> Backbone:
 
         def txt(p, t):
             # clip_swin's text tower keeps the projection OUTSIDE the tower
-            # (clip_swin.py:171-173,255-260)
+            # (clip_swin.py:171-173,255-260) and uses the TF-style LayerNorm
+            # eps=1e-12 throughout (clip_swin.py:24-39)
             x = core_encode_text(
                 {"text": dict(p["text"], text_projection=p["text_projection"])},
-                t, spec=cspec,
+                t, spec=cspec, ln_eps=1e-12,
             )
             return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 

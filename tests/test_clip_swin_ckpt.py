@@ -122,13 +122,10 @@ def test_clip_swin_golden_parity(ref_clip_swin, tmp_path):
     torch.manual_seed(0)
     model = ref_clip_swin.CLIP(_tiny_config())
     model.eval()
-    with torch.no_grad():
-        # trunc_normal(0.02) init gives LN inputs variance ~4e-4, where the
-        # reference text tower's eps=1e-12 vs our 1e-5 shows as a ~1% scale
-        # skew.  Real checkpoints have O(1) activations; emulate that so the
-        # test measures structure, not the eps corner.
-        model.text.token_embedding.weight.mul_(50.0)
-        model.text.positional_embedding.mul_(50.0)
+    # NOTE: no activation-scale workaround here — our text path now uses the
+    # reference's TF-style LayerNorm eps=1e-12 (factory passes ln_eps), so
+    # parity holds even at trunc_normal(0.02) init where LN input variance
+    # (~4e-4) is comparable to the old 1e-5 eps.
 
     ckpt = tmp_path / "clip_swin_tiny.pt"
     torch.save(model.state_dict(), ckpt)
@@ -163,9 +160,7 @@ def test_clip_swin_golden_parity(ref_clip_swin, tmp_path):
     with torch.no_grad():
         ref_txt = model.encode_text(torch.from_numpy(tokens.astype(np.int64)))
     ours_txt = bb.encode_text(bb.params, jnp.asarray(tokens))
-    # text tower LN is TF-style eps=1e-12 (clip_swin.py:24-39) vs our 1e-5 —
-    # tolerance accounts for that, not for structure
     np.testing.assert_allclose(
-        np.asarray(ours_txt), ref_txt.numpy(), rtol=5e-3, atol=2e-3,
+        np.asarray(ours_txt), ref_txt.numpy(), rtol=0, atol=2e-5,
         err_msg="clip_swin encode_text diverges",
     )
