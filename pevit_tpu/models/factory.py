@@ -247,6 +247,12 @@ def get_model(config, feature_type: str = "image") -> Backbone:
         else:
             sspec = _swin.swin_base() if "base" in name else _swin.swin_tiny()
             sspec = _swin_spec_from_cfg(config.MODEL.SPEC.get("VISION", {}) or {}, sspec)
+            # img_size comes from TRAIN.IMAGE_SIZE like every other tower
+            # (clip_swin.py:176 img_size=config TRAIN IMAGE_SIZE) — the
+            # checkpoint branch above replaces it too; without this, random
+            # init was pinned to swin_tiny's 224 default and any other
+            # resolution crashed at the patch reshape.
+            sspec = dataclasses.replace(sspec, img_size=config.TRAIN.IMAGE_SIZE[0])
             core = init_clip_params(rng, cspec)
             k = jax.random.split(rng)[0]
             params = {

@@ -243,3 +243,90 @@ def test_serve_bench_defaults_num_classes(monkeypatch, capsys):
         sb.main(["--model", "resources/model/vitb32_CLIP.yaml",
                  "MODEL.PRETRAINED", "random"])
     assert captured["config"].DATASET.NUM_CLASSES == 100
+
+
+@pytest.mark.slow
+def test_swin_backbone_export_replay(tmp_path):
+    """A factory (swin) backbone exports through the same tool and the
+    artifact replays against the library forward — the serving surface is
+    not CLIP-tower-only.  Uses a nano clip_swin (2-stage Swin vision tower
+    incl. a res==window clamped stage + 2-layer text tower) with the
+    deterministic random init, program-only weights."""
+    from pevit_tpu.config import get_default_config, update_config
+    from pevit_tpu.models import get_model
+    from pevit_tpu.peft import PeftConfig
+    from pevit_tpu.serve import load_exported, make_serving_fn, serving_weights
+    from pevit_tpu.train import TaskStatic, TrainTask
+    from pevit_tpu.core.clip import CLIPSpec
+
+    model = tmp_path / "nano_clip_swin.yaml"
+    model.write_text(
+        "MODEL:\n"
+        "  NAME: clip_swin_nano\n"
+        "  PRETRAINED: ''\n"
+        "  SPEC:\n"
+        "    EMBED_DIM: 64\n"
+        "    TEXT:\n"
+        "      TOKENIZER: clip\n"
+        "      CONTEXT_LENGTH: 77\n"
+        "      WIDTH: 64\n"
+        "      HEADS: 2\n"
+        "      LAYERS: 2\n"
+        "    VISION:\n"
+        "      PATCH_SIZE: 4\n"
+        "      IN_CHANS: 3\n"
+        "      EMBED_DIM: 32\n"
+        "      DEPTHS: [2, 2]\n"
+        "      NUM_HEADS: [2, 4]\n"
+        "      WINDOW_SIZE: 7\n"
+        "      MLP_RATIO: 4.\n"
+        "      QKV_BIAS: True\n"
+        "      APE: False\n"
+        "      PATCH_NORM: True\n"
+        "      DROP_RATE: 0.0\n"
+        "TEST:\n"
+        "  MODEL_FILE: ''\n"
+    )
+    ds = tmp_path / "ds.yaml"
+    ds.write_text(
+        "DATASET:\n  DATASET: 'cifar-10'\n  ROOT: '%s'\n  NUM_CLASSES: 10\n"
+        "  ALLOW_SYNTHETIC: True\n" % str(tmp_path / "data")
+    )
+    opts = ["TRAIN.IMAGE_SIZE", "[56,56]", "TEST.IMAGE_SIZE", "[56,56]",
+            "TPU.COMPUTE_DTYPE", "float32"]
+
+    out = tmp_path / "swin.stablehlo"
+    tool = _load_tool()
+    exported = tool.main([
+        "--model", str(model), "--ds", str(ds), "--method", "linear_probe",
+        "--weights-as-args", "--out", str(out), *opts,
+    ])
+    assert out.stat().st_size > 0
+    # vision tower: 56/4 = 14 -> stage1 res 7 == window (the clamped case)
+
+    # rebuild the identical serving state in-process (same config + seed)
+    class _A:
+        pass
+
+    _A.opts = list(opts)
+
+    cfg = get_default_config()
+    for f in (str(ds), str(model)):
+        _A.cfg = f
+        update_config(cfg, _A)
+    bb = get_model(cfg)
+    static = TaskStatic.from_config(
+        cfg, CLIPSpec.from_config(cfg), PeftConfig(method="linear_probe"),
+        feat_dim=bb.feat_dim,
+    )
+    task = TrainTask(cfg, static, None, backbone=bb)
+    trainable, frozen, bn_state = task.init_bundle(jax.random.PRNGKey(0))
+    serve = make_serving_fn(static, trainable, frozen, bn_state, task.preproc,
+                            forward_fn=task._forward_fn)
+    weights = serving_weights(trainable, frozen, bn_state)
+    loaded = load_exported(out)
+    x = jnp.asarray(np.random.default_rng(7).integers(0, 255, (3, 56, 56, 3), dtype=np.uint8))
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(weights, x)), np.asarray(serve(x)),
+        rtol=1e-5, atol=1e-5,
+    )
