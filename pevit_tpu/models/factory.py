@@ -144,6 +144,11 @@ def get_model(config, feature_type: str = "image") -> Backbone:
         else:
             spec = dataclasses.replace(_vit_spec_from_name(name), global_pool=global_pool)
             spec = _vit_spec_from_cfg(config.MODEL.SPEC, spec)
+            # input resolution follows TRAIN.IMAGE_SIZE (the reference's timm
+            # ViT is built at a fixed img_size and asserts on mismatch,
+            # mocov3.py:101-102); without this, random init was pinned to
+            # the 224 default like the clip_swin branch was.
+            spec = dataclasses.replace(spec, input_resolution=config.TRAIN.IMAGE_SIZE[0])
             params = _vit.init_vit_params(rng, spec)
             logging.warning("=> %s: RANDOM init (no TEST.MODEL_FILE)", name)
         return Backbone(

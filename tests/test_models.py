@@ -189,12 +189,14 @@ def test_factory_dispatch():
     cfg2.TRAIN.IMAGE_SIZE = [32, 32]
     cfg2.MODEL.NAME = "mocov3_vitb16"
     bb2 = get_model(cfg2)
-    x224 = jax.random.normal(jax.random.PRNGKey(0), (1, 224, 224, 3))
-    assert bb2.forward_features(bb2.params, x224).shape == (1, 768)
+    # random init is built at TRAIN.IMAGE_SIZE (the reference's timm ViT is
+    # fixed-size and asserts on mismatch, mocov3.py:101-102) — 32 here
+    x32 = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    assert bb2.forward_features(bb2.params, x32).shape == (1, 768)
     # EMBED_DIM drives the random-init width (reference mocov3.py:145)
     cfg2.MODEL.SPEC.update({"EMBED_DIM": 64, "NUM_HEADS": 2, "DEPTH": 2})
     bb3 = get_model(cfg2)
-    assert bb3.forward_features(bb3.params, x224).shape == (1, 64)
+    assert bb3.forward_features(bb3.params, x32).shape == (1, 64)
 
     cfg.MODEL.NAME = "not_a_model"
     with pytest.raises(ValueError):
