@@ -235,3 +235,56 @@ def test_normalize_and_factory_roundtrip(ref_pkg, tmp_path):
     ours = jdeclip.encode_image_dense(params, xj, spec=spec).reshape(2, -1)
     _close(ref_dense.reshape(2, -1), ours, "factory dense features")
     assert bb.tokenize is not None  # declip-family tokenizer wired
+
+
+@pytest.mark.slow
+def test_filip_real_geometry_golden_parity(ref_pkg):
+    """The FILIP/DeCLIP towers at TRUE published geometry: ViT-B/32 visual
+    (224, patch 32, width 768, 12x12) + text 512x8x12 ctx 77 over the real
+    49409-token vocab, with real-width dense mapping heads — the toy test
+    above runs width 64; this pins the same math where heads == width//64
+    and the dense heads project from the full tower widths."""
+    visual, text = None, None
+    torch.manual_seed(41)
+    visual = ref_pkg.vt.VisualTransformer(
+        input_resolution=224, patch_size=32, width=768, layers=12,
+        heads=12, embed_dim=512, checkpoint=False,
+    )
+    text = ref_pkg.tt.text_transformers(
+        embed_dim=512, context_length=77, transformer_width=512,
+        transformer_heads=8, transformer_layers=12,
+        positional_embedding_flag=True, checkpoint=False,
+        bpe_path="bpe_simple_vocab_16e6.txt.gz",
+        text_encode_type="Transformer",
+        text_model_utils={"random": False, "freeze": False},
+    )
+    model = ref_pkg.filip.FILIP(
+        visual, text, use_allgather=False, return_dense=True,
+        feature_dim=512, dense_mapping_image=768, dense_mapping_language=512,
+        dense_embed_dim=256,
+    )
+    model.eval()
+
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params, spec = jdeclip.declip_state_dict_to_params(sd, input_resolution=224)
+    assert spec.variant == "filip" and spec.dense_eval
+    assert spec.vision.width == 768 and spec.vision.heads == 12
+    assert spec.text.width == 512 and spec.text.heads == 8
+
+    rng = np.random.default_rng(43)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    xt = torch.from_numpy(x)
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    tokens_t = text.tokenize(TEXTS, context_length=77)
+    tokens_j = jnp.asarray(tokens_t.numpy().astype(np.int32))
+
+    with torch.no_grad():
+        ref_img = model.encode_image(xt)
+        ref_img_dense = model.encode_image_dense(xt)
+        ref_txt = model.encode_text(TEXTS)
+        ref_txt_dense = model.encode_text_dense(TEXTS)
+
+    _close(ref_img, jdeclip.encode_image(params, xj, spec=spec), "encode_image@768")
+    _close(ref_img_dense, jdeclip.encode_image_dense(params, xj, spec=spec), "encode_image_dense@768")
+    _close(ref_txt, jdeclip.encode_text(params, tokens_j, spec=spec), "encode_text@512")
+    _close(ref_txt_dense, jdeclip.encode_text_dense(params, tokens_j, spec=spec), "encode_text_dense@512")

@@ -145,3 +145,52 @@ def test_load_clip_rn50_random():
     assert params["visual"]["attnpool"]["c_proj"]["kernel"].shape == (2048, 1024)
     assert params["visual"]["stem"]["conv1"].shape == (3, 3, 3, 32)
     assert len(params["visual"]["layer3"]) == 6
+
+
+@pytest.mark.slow
+def test_rn50_real_geometry_forward_parity():
+    """ModifiedResNet at the TRUE RN50 geometry (model.py:1074-1084 infers
+    layers (3,4,6,3), width 64, res 224, embed 1024 from the OpenAI ckpt):
+    the stem's three convs, avg-pool antialiasing and the attention-pool's
+    (res/32)^2+1 positional embedding all change tiling vs the toy config.
+    Text tower kept tiny — only the visual tower is under test."""
+    ref = _load_ref("model")
+    torch.manual_seed(29)
+    model = ref.CLIP(
+        embed_dim=1024,
+        image_resolution=224,
+        vision_layers=(3, 4, 6, 3),
+        vision_width=64,
+        vision_patch_size=None,
+        context_length=12,
+        vocab_size=100,
+        transformer_width=64,
+        transformer_heads=1,
+        transformer_layers=2,
+    )
+    with torch.no_grad():
+        for m in model.visual.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(0.2 * torch.randn_like(m.running_mean))
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    model.eval()
+
+    sd = {k: v.numpy().astype(np.float32) for k, v in model.state_dict().items()}
+    params, spec = state_dict_to_params(sd)
+    assert spec.vision_rn.layers == (3, 4, 6, 3)
+    assert spec.vision_rn.input_resolution == 224
+    assert spec.vision_rn.output_dim == 1024
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = model.visual(torch.from_numpy(x))
+    ours = encode_image(
+        params, jnp.asarray(x.transpose(0, 2, 3, 1)), spec=spec,
+        compute_dtype=jnp.float32,
+    )
+    scale = float(np.abs(ref_out.numpy()).max())
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_out.numpy(), rtol=5e-5, atol=5e-5 * scale,
+        err_msg="RN50 real-geometry encode_image diverges",
+    )
