@@ -29,8 +29,12 @@ def test_methods_resolve_and_datasets_exist():
     for name, (modpath, avg, params) in pe.METHODS.items():
         mod = importlib.import_module(modpath)
         assert callable(mod.main), name
-        assert 50.0 < avg < 80.0
-        assert params > 0
+        if name == "zeroshot":
+            # eval-only arm: no published 20-dataset average, no trainables
+            assert avg is None and params == 0
+        else:
+            assert 50.0 < avg < 80.0
+            assert params > 0
 
 
 def test_cli_parses_and_defaults():
