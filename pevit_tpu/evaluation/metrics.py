@@ -42,7 +42,21 @@ def map_11_points(y_label: np.ndarray, y_pred_proba: np.ndarray) -> float:
     y_label: (N, C) binary multilabel matrix; y_pred_proba: (N, C) scores.
     AP per class = mean over recall thresholds {0, 0.1, ..., 1.0} of the
     interpolated precision max_{r' >= r} p(r'); mAP = mean over classes.
+
+    Built on sklearn's ``precision_recall_curve`` exactly like the
+    reference's vision-evaluation ``MeanAveragePrecisionNPointsEvaluator``,
+    which makes two behaviors part of the contract:
+
+    * the curve's terminal (recall=0, precision=1) sentinel participates in
+      the interpolation, so the r=0 term is always 1.0 (a hand-rolled
+      per-rank version without the sentinel under-reports by up to
+      (1 - max precision)/11 per class — caught by the sklearn
+      cross-reconstruction test);
+    * tied scores contribute one operating point per DISTINCT threshold
+      (precision measured after the whole tie group), not one per rank.
     """
+    from sklearn.metrics import precision_recall_curve as _sk_pr_curve
+
     y_label = np.asarray(y_label)
     scores = np.asarray(y_pred_proba)
     if y_label.ndim == 1:
@@ -53,14 +67,9 @@ def map_11_points(y_label: np.ndarray, y_pred_proba: np.ndarray) -> float:
     aps = []
     for c in range(n_classes):
         gt = y_label[:, c] > 0
-        n_pos = int(gt.sum())
-        if n_pos == 0:
+        if not gt.any():
             continue
-        order = np.argsort(-scores[:, c], kind="stable")
-        tp = gt[order].astype(np.float64)
-        cum_tp = np.cumsum(tp)
-        precision = cum_tp / np.arange(1, len(tp) + 1)
-        recall = cum_tp / n_pos
+        precision, recall, _ = _sk_pr_curve(gt.astype(np.int64), scores[:, c])
         ap = 0.0
         for r in np.linspace(0.0, 1.0, 11):
             mask = recall >= r

@@ -44,12 +44,15 @@ _VOLATILE_KEYS = (("OUTPUT_DIR",), ("TPU", "CHECKPOINT_DIR"), ("TPU", "SWEEP_CAC
 # Bump on any code change that can alter trial scores, best-epoch selection,
 # or final accuracies under an unchanged config + data (numerics, batch/tail
 # handling, eval chunking, loss/optimizer semantics).  History:
+#   4  r5: 11-point mAP rebuilt on sklearn's precision_recall_curve with
+#      the (r=0, p=1) sentinel + distinct-threshold tie handling, matching
+#      vision-evaluation (changes voc-2007 trial scores/selection)
 #   3  r5: swin shifted-window mask frame + res<=window clamp fixes (any
 #      cached score from a swin-tower run predates correct attention)
 #   2  r4: natural-size tail steps + natural eval chunks, method-aware
 #      eval_chunk default (batch-composition parity with the reference)
 #   1  r1-r3 (implicit)
-SEMANTICS_VERSION = 3
+SEMANTICS_VERSION = 4
 
 
 def _sample_bytes(arr, max_rows: int = 64) -> bytes:

@@ -122,3 +122,42 @@ def test_roc_auc_binary_uses_positive_column():
     y = np.array([0, 0, 1, 1])
     s = np.array([[0.9, 0.1], [0.6, 0.4], [0.35, 0.65], [0.2, 0.8]])
     assert metrics.roc_auc(y, s) == pytest.approx(1.0)
+
+
+def test_map_11_points_matches_independent_sklearn_reconstruction():
+    """Cross-check the hand-rolled VOC 11-point mAP against an independent
+    construction from sklearn's precision_recall_curve (vision_evaluation
+    itself is not installable offline; sklearn is the second opinion).
+    Continuous random scores -> no tie-handling ambiguity."""
+    from sklearn.metrics import precision_recall_curve
+
+    rng = np.random.default_rng(5)
+    y = (rng.random((64, 6)) < 0.3).astype(np.float32)
+    y[:, 0] = 0.0  # one class with no positives: skipped on both sides
+    s = rng.random((64, 6)).astype(np.float64)
+
+    aps = []
+    for c in range(6):
+        if not y[:, c].any():
+            continue
+        prec, rec, _ = precision_recall_curve(y[:, c], s[:, c])
+        ap = 0.0
+        for r in np.linspace(0.0, 1.0, 11):
+            m = rec >= r
+            ap += float(prec[m].max()) if m.any() else 0.0
+        aps.append(ap / 11.0)
+    want = float(np.mean(aps))
+
+    got = metrics.map_11_points(y, s)
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_map_11_points_multiclass_onehot_equivalence():
+    rng = np.random.default_rng(7)
+    labels = rng.integers(0, 4, 32)
+    s = rng.random((32, 4))
+    onehot = np.zeros_like(s)
+    onehot[np.arange(32), labels] = 1
+    assert metrics.map_11_points(labels, s) == pytest.approx(
+        metrics.map_11_points(onehot, s), abs=1e-12
+    )
